@@ -1,0 +1,224 @@
+"""Three-tier config system: defaults <- YAML experiment file <- CLI pairs.
+
+Key names and default values mirror the reference config
+(/root/reference/lib/model/utils/config.py:11-303) so the shipped
+cfgs/*.yml files keep working unchanged.  The implementation is our own
+attribute-dict with type-checked merging (no easydict dependency).
+"""
+
+from __future__ import annotations
+
+import copy
+from ast import literal_eval
+
+import numpy as np
+import yaml
+
+
+class AttrDict(dict):
+    """dict with attribute access; nested dicts are converted recursively."""
+
+    def __init__(self, d=None):
+        super().__init__()
+        if d:
+            for k, v in d.items():
+                self[k] = AttrDict(v) if isinstance(v, dict) else v
+
+    def __getattr__(self, name):
+        try:
+            return self[name]
+        except KeyError as e:
+            raise AttributeError(name) from e
+
+    def __setattr__(self, name, value):
+        self[name] = value
+
+    def clone(self):
+        return copy.deepcopy(self)
+
+
+def _default_cfg() -> AttrDict:
+    c = AttrDict()
+
+    # ---------------- Training options ----------------
+    c.TRAIN = AttrDict()
+    c.TRAIN.LEARNING_RATE = 0.001
+    c.TRAIN.MOMENTUM = 0.9
+    c.TRAIN.WEIGHT_DECAY = 0.0005
+    c.TRAIN.GAMMA = 0.1
+    c.TRAIN.STEPSIZE = [30000]
+    c.TRAIN.DISPLAY = 10
+    c.TRAIN.DOUBLE_BIAS = True
+    c.TRAIN.TRUNCATED = False
+    c.TRAIN.BIAS_DECAY = False
+    c.TRAIN.USE_GT = False
+    c.TRAIN.ASPECT_GROUPING = False
+    c.TRAIN.SNAPSHOT_KEPT = 3
+    c.TRAIN.SUMMARY_INTERVAL = 180
+    c.TRAIN.SCALES = (600,)
+    c.TRAIN.MAX_SIZE = 1000
+    c.TRAIN.TRIM_HEIGHT = 600
+    c.TRAIN.TRIM_WIDTH = 600
+    c.TRAIN.IMS_PER_BATCH = 1
+    c.TRAIN.BATCH_SIZE = 128          # rois per image in the rcnn head
+    c.TRAIN.FG_FRACTION = 0.25
+    c.TRAIN.FG_THRESH = 0.5
+    c.TRAIN.BG_THRESH_HI = 0.5
+    c.TRAIN.BG_THRESH_LO = 0.1
+    c.TRAIN.USE_FLIPPED = True
+    c.TRAIN.BBOX_REG = True
+    c.TRAIN.BBOX_THRESH = 0.5
+    c.TRAIN.SNAPSHOT_ITERS = 5000
+    c.TRAIN.SNAPSHOT_PREFIX = 'res101_faster_rcnn'
+    c.TRAIN.BBOX_NORMALIZE_TARGETS = True
+    c.TRAIN.BBOX_INSIDE_WEIGHTS = (1.0, 1.0, 1.0, 1.0)
+    c.TRAIN.BBOX_NORMALIZE_TARGETS_PRECOMPUTED = True
+    c.TRAIN.BBOX_NORMALIZE_MEANS = (0.0, 0.0, 0.0, 0.0)
+    c.TRAIN.BBOX_NORMALIZE_STDS = (0.1, 0.1, 0.2, 0.2)
+    c.TRAIN.PROPOSAL_METHOD = 'gt'
+    c.TRAIN.HAS_RPN = True
+    c.TRAIN.RPN_POSITIVE_OVERLAP = 0.7
+    c.TRAIN.RPN_NEGATIVE_OVERLAP = 0.3
+    c.TRAIN.RPN_CLOBBER_POSITIVES = False
+    c.TRAIN.RPN_FG_FRACTION = 0.5
+    c.TRAIN.RPN_BATCHSIZE = 256
+    c.TRAIN.RPN_NMS_THRESH = 0.7
+    c.TRAIN.RPN_PRE_NMS_TOP_N = 12000
+    c.TRAIN.RPN_POST_NMS_TOP_N = 2000
+    c.TRAIN.RPN_MIN_SIZE = 8
+    c.TRAIN.RPN_BBOX_INSIDE_WEIGHTS = (1.0, 1.0, 1.0, 1.0)
+    c.TRAIN.RPN_POSITIVE_WEIGHT = -1.0
+    c.TRAIN.USE_ALL_GT = True
+    c.TRAIN.BN_TRAIN = False
+
+    # ---------------- Testing options ----------------
+    c.TEST = AttrDict()
+    c.TEST.SCALES = (600,)
+    c.TEST.MAX_SIZE = 1000
+    c.TEST.NMS = 0.3
+    c.TEST.SVM = False
+    c.TEST.BBOX_REG = True
+    c.TEST.HAS_RPN = False
+    c.TEST.PROPOSAL_METHOD = 'gt'
+    c.TEST.RPN_NMS_THRESH = 0.7
+    c.TEST.RPN_PRE_NMS_TOP_N = 6000
+    c.TEST.RPN_POST_NMS_TOP_N = 300
+    c.TEST.RPN_MIN_SIZE = 16
+    c.TEST.MODE = 'nms'
+    c.TEST.RPN_TOP_N = 5000
+
+    # ---------------- ResNet options ----------------
+    c.RESNET = AttrDict()
+    c.RESNET.MAX_POOL = False
+    c.RESNET.FIXED_BLOCKS = 1
+
+    # ---------------- MobileNet options (API surface parity) ------------
+    c.MOBILENET = AttrDict()
+    c.MOBILENET.REGU_DEPTH = False
+    c.MOBILENET.FIXED_LAYERS = 5
+    c.MOBILENET.WEIGHT_DECAY = 0.00004
+    c.MOBILENET.DEPTH_MULTIPLIER = 1.0
+
+    # ---------------- MISC ----------------
+    c.DEDUP_BOXES = 1.0 / 16.0
+    # Pixel mean values (BGR order, Caffe convention) as a (1, 1, 3) array.
+    c.PIXEL_MEANS = np.array([[[102.9801, 115.9465, 122.7717]]])
+    c.RNG_SEED = 3
+    c.EPS = 1e-14
+    c.EXP_DIR = 'default'
+    c.USE_GPU_NMS = True
+    c.GPU_ID = 0
+    c.POOLING_MODE = 'crop'
+    c.POOLING_SIZE = 7
+    c.MAX_NUM_GT_BOXES = 20
+    c.ANCHOR_SCALES = [8, 16, 32]
+    c.ANCHOR_RATIOS = [0.5, 1, 2]
+    c.FEAT_STRIDE = [16]
+    c.CUDA = False
+    c.CROP_RESIZE_WITH_MAX_POOL = True
+
+    # ---------------- TPU-native additions ----------------
+    c.TPU = AttrDict()
+    c.TPU.COMPUTE_DTYPE = 'bfloat16'   # matmul/conv compute dtype
+    c.TPU.PARAM_DTYPE = 'float32'
+    # Query images are padded to (SCALES[0], MAX_SIZE)-style static buckets so
+    # each bucket compiles exactly once (replaces per-batch dynamic padding).
+    c.TPU.SIZE_BUCKETS = [(600, 600), (600, 800), (600, 1000), (800, 600), (1000, 600)]
+    # Cap on boxes entering fixed-shape NMS (memory/latency bound); the
+    # reference's TRAIN.RPN_PRE_NMS_TOP_N=12000 is honored up to this cap.
+    c.TPU.NMS_MAX_INPUT = 6000
+    c.TPU.MESH_DATA_AXIS = 'data'
+
+    return c
+
+
+# Global config, consumed as `from dana_tpu.utils.config import cfg`
+# (mirrors the reference's global `cfg` EasyDict).
+cfg = _default_cfg()
+
+
+def _merge_a_into_b(a: dict, b: AttrDict, path: str = '') -> None:
+    """Type-checked recursive merge (semantics of reference config.py:338-368)."""
+    if not isinstance(a, dict):
+        return
+    for k, v in a.items():
+        if k not in b:
+            raise KeyError(f'{path}{k} is not a valid config key')
+        old = b[k]
+        if isinstance(old, dict):
+            if not isinstance(v, dict):
+                raise ValueError(f'Type mismatch for config key {path}{k}')
+            _merge_a_into_b(v, b[k], path=f'{path}{k}.')
+            continue
+        if old is not None and v is not None and type(old) is not type(v):
+            if isinstance(old, np.ndarray):
+                v = np.array(v, dtype=old.dtype)
+            elif isinstance(old, float) and isinstance(v, int):
+                v = float(v)
+            elif isinstance(old, tuple) and isinstance(v, list):
+                v = tuple(v)
+            elif isinstance(old, list) and isinstance(v, tuple):
+                v = list(v)
+            else:
+                raise ValueError(
+                    f'Type mismatch ({type(old)} vs {type(v)}) for config key: {path}{k}')
+        b[k] = v
+
+
+def cfg_from_file(filename: str) -> None:
+    """Load a YAML experiment file and merge it into the global config."""
+    with open(filename) as f:
+        yaml_cfg = yaml.safe_load(f)
+    _merge_a_into_b(yaml_cfg, cfg)
+
+
+def cfg_from_list(cfg_list) -> None:
+    """Set config keys from a flat [key, value, key, value, ...] list."""
+    assert len(cfg_list) % 2 == 0
+    for k, v in zip(cfg_list[0::2], cfg_list[1::2]):
+        keys = k.split('.')
+        d = cfg
+        for subkey in keys[:-1]:
+            assert subkey in d, f'unknown config section {subkey}'
+            d = d[subkey]
+        subkey = keys[-1]
+        assert subkey in d, f'unknown config key {k}'
+        try:
+            value = literal_eval(v)
+        except (ValueError, SyntaxError):
+            value = v
+        old = d[subkey]
+        if isinstance(old, tuple) and isinstance(value, list):
+            value = tuple(value)
+        if isinstance(old, float) and isinstance(value, int):
+            value = float(value)
+        assert type(value) is type(old) or old is None, (
+            f'type {type(value)} does not match original type {type(old)} for {k}')
+        d[subkey] = value
+
+
+def reset_cfg() -> None:
+    """Restore the global config to defaults (used by tests)."""
+    fresh = _default_cfg()
+    cfg.clear()
+    cfg.update(fresh)
