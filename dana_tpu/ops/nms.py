@@ -1,0 +1,104 @@
+"""Fixed-shape greedy NMS for TPU.
+
+Replaces the reference's CUDA bitmask kernel + host scan
+(/root/reference/lib/model/csrc/cuda/nms.cu:13-131) and CPU greedy loop
+(csrc/cpu/nms_cpu.cpp:6-75) with an XLA formulation:
+
+  1. sort boxes by score (invalid slots get -inf),
+  2. build the strict-lower-triangular suppression matrix
+     M[i, j] = IoU(i, j) >= thresh  for j < i  (j higher-scored),
+  3. iterate keep <- NOT(M @ keep > 0) to its fixed point.
+
+The fixed point of (3) is exactly the greedy NMS result (each kept box is
+kept iff no higher-scored *kept* box overlaps it); Jacobi iteration from
+all-ones converges within the longest suppression-chain length, checked by
+a lax.while_loop. Every step is one [N, N] x [N] matvec on the MXU —
+no data-dependent shapes, no host round-trips.
+
+IoU uses the legacy +1 convention to match the reference kernel
+(nms.cu devIoU:13-21).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from dana_tpu.core.boxes import iou_matrix
+
+
+def _suppression_fixed_point(mask_f32: jnp.ndarray) -> jnp.ndarray:
+    """keep <- ~(M @ keep > 0) until stable. mask_f32 strict lower tri."""
+    n = mask_f32.shape[0]
+
+    def cond(state):
+        keep, prev, it = state
+        return jnp.logical_and(jnp.any(keep != prev), it < n)
+
+    def body(state):
+        keep, _, it = state
+        suppressed = mask_f32 @ keep.astype(jnp.float32) > 0.0
+        return jnp.logical_not(suppressed), keep, it + 1
+
+    keep0 = jnp.ones((n,), dtype=bool)
+    # one step first so prev != keep initially unless already stable
+    keep1 = body((keep0, jnp.zeros((n,), bool), 0))[0]
+    keep, _, _ = jax.lax.while_loop(cond, body, (keep1, keep0, jnp.int32(1)))
+    return keep
+
+
+@functools.partial(jax.jit, static_argnames=('max_output',))
+def nms_fixed(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold,
+              max_output: int, valid: jnp.ndarray | None = None):
+    """Greedy NMS with fixed output size.
+
+    Args:
+      boxes: [N, 4] x1y1x2y2.
+      scores: [N].
+      iou_threshold: scalar; boxes with IoU >= threshold against a kept
+        higher-scored box are suppressed (matches the reference kernel's
+        `> thresh` on overlap... nms.cu uses `> nms_overlap_thresh`; we use
+        strictly-greater for exact parity).
+      max_output: static output slot count.
+      valid: optional [N] bool; False slots are ignored.
+
+    Returns:
+      (indices [max_output] int32 into the input arrays, score-descending,
+       keep_mask [max_output] bool marking real outputs; padded slots
+       hold index 0 and False).
+    """
+    n = boxes.shape[0]
+    neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
+    s = scores if valid is None else jnp.where(valid, scores, neg_inf)
+    order = jnp.argsort(-s)                      # stable desc sort
+    sboxes = boxes[order]
+    svalid = jnp.isfinite(s[order]) if valid is not None else jnp.ones((n,), bool)
+
+    iou = iou_matrix(sboxes, sboxes)
+    tri = jnp.tril(jnp.ones((n, n), jnp.float32), k=-1)
+    mask = jnp.where(iou > iou_threshold, tri, 0.0)
+    # invalid boxes can never suppress others
+    mask = mask * svalid.astype(jnp.float32)[None, :]
+
+    keep = _suppression_fixed_point(mask) & svalid
+
+    # compact the first max_output kept (they are already score-ordered)
+    rank = jnp.cumsum(keep.astype(jnp.int32)) - 1   # output slot per kept box
+    slot = jnp.where(keep, rank, max_output)        # dropped -> overflow slot
+    slot = jnp.minimum(slot, max_output)            # kept beyond cap -> overflow
+    out_idx = jnp.zeros((max_output + 1,), jnp.int32).at[slot].set(
+        order.astype(jnp.int32), mode='drop')[:max_output]
+    total = jnp.sum(keep.astype(jnp.int32))
+    out_mask = jnp.arange(max_output) < jnp.minimum(total, max_output)
+    out_idx = jnp.where(out_mask, out_idx, 0)
+    return out_idx, out_mask
+
+
+def batched_nms_fixed(boxes, scores, iou_threshold, max_output: int, valid=None):
+    """vmap of nms_fixed over a leading batch axis."""
+    fn = lambda b, s, v: nms_fixed(b, s, iou_threshold, max_output, v)
+    if valid is None:
+        valid = jnp.ones(scores.shape, bool)
+    return jax.vmap(fn)(boxes, scores, valid)
