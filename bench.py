@@ -1,0 +1,65 @@
+"""Benchmark: DAnA query-image inference throughput on one chip.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+Config mirrors the reference eval protocol (inference.py:85-105: ResNet-50
+DAnA, 3-shot supports at 320x320, shortest-side-600 query) but batched —
+the reference runs bs=1 on GPU; its published per-image timing prints put
+it around ~4-5 img/s on a 2080 Ti-class GPU (no official number exists:
+BASELINE.md — baseline taken as 5 img/s; vs_baseline is ours/5).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_IMGS_PER_SEC = 5.0
+
+
+def main():
+    from dana_tpu.models import dana
+    from dana_tpu.models.layers import to_jnp
+
+    batch = int(os.environ.get('BENCH_BATCH', '8'))
+    h, w = 608, 800
+    config = dana.DanaConfig(
+        n_way=2, n_shot=3, compute_dtype=jnp.bfloat16)
+    params = to_jnp(dana.init_params(config, seed=0))
+
+    im = jnp.zeros((batch, h, w, 3), jnp.float32)
+    info = jnp.tile(jnp.array([[float(h), float(w), 1.0]]), (batch, 1))
+    sup = jnp.zeros((batch, config.n_shot, 320, 320, 3), jnp.float32)
+
+    @jax.jit
+    def predict(params, im, info, sup):
+        out = dana.forward(params, config, im, info, sup, training=False)
+        return out['rois'], out['cls_prob'], out['bbox_pred']
+
+    # warmup / compile
+    out = predict(params, im, info, sup)
+    jax.block_until_ready(out)
+
+    iters = int(os.environ.get('BENCH_ITERS', '10'))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = predict(params, im, info, sup)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    imgs_per_sec = batch * iters / dt
+    print(json.dumps({
+        'metric': 'dana_r50_2way3shot_query_imgs_per_sec_per_chip',
+        'value': round(imgs_per_sec, 3),
+        'unit': 'imgs/s',
+        'vs_baseline': round(imgs_per_sec / BASELINE_IMGS_PER_SEC, 3),
+    }))
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,99 @@
+"""Training optimizer: torch-semantics SGD with the reference's per-param
+group rules, as a pure pytree transform.
+
+Parity source: train.py:78-89 builds param groups — biases get
+lr * (DOUBLE_BIAS + 1) and weight_decay 0 (unless BIAS_DECAY); everything
+else lr / TRAIN.WEIGHT_DECAY — and torch.optim.SGD semantics
+(g += wd * p; v = mu * v + g; p -= lr * v).  Frozen params (requires_grad
+False in the reference: conv1/bn1, FIXED_BLOCKS resnet layers, every
+BatchNorm — dana.py:351-368) are expressed as a boolean `trainable` tree;
+their grads are zeroed so velocity stays zero and params untouched.
+
+Adam (the --o adam branch, train.py:90-91) is provided via optax.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class SGDState(NamedTuple):
+    velocity: Any
+    lr: jnp.ndarray          # scalar; mutated by step-decay schedule
+
+
+def _path_str(path) -> str:
+    return '.'.join(str(getattr(p, 'key', getattr(p, 'idx', p))) for p in path)
+
+
+def trainable_mask(params, *, fixed_blocks: int = 1,
+                   arch_prefix: str = 'backbone') -> Any:
+    """Boolean tree: False for frozen leaves (dana.py:351-368 semantics):
+    backbone conv1/bn1, layer1..layer{fixed_blocks}, and all BN stats/
+    affine params anywhere in the backbone."""
+    frozen_layers = {f'layer{i}' for i in range(1, fixed_blocks + 1)}
+
+    def leaf_mask(path, leaf):
+        p = _path_str(path)
+        parts = p.split('.')
+        if parts[0] == arch_prefix:
+            if parts[1] in ('conv1', 'bn1'):
+                return False
+            if parts[1] in frozen_layers:
+                return False
+            # frozen BN: any bn* module or downsample.1, and running stats
+            if any(x.startswith('bn') for x in parts) or \
+                    parts[-2:-1] == ['1'] and 'downsample' in parts:
+                return False
+        if parts[-1] in ('running_mean', 'running_var'):
+            return False
+        return True
+
+    return jax.tree_util.tree_map_with_path(leaf_mask, params)
+
+
+def _bias_mask(params):
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: _path_str(path).endswith('bias'), params)
+
+
+def sgd_init(params) -> SGDState:
+    return SGDState(velocity=jax.tree.map(jnp.zeros_like, params),
+                    lr=jnp.asarray(0.0, jnp.float32))
+
+
+def sgd_update(params, grads, state: SGDState, *, momentum=0.9,
+               weight_decay=0.0005, double_bias=True, bias_decay=False,
+               trainable=None):
+    """One torch-SGD step. Returns (new_params, new_state)."""
+    bias = _bias_mask(params)
+    if trainable is None:
+        trainable = jax.tree.map(lambda _: True, params)
+
+    def upd(p, g, v, is_bias, is_trainable):
+        if not is_trainable:
+            return p, v
+        wd = 0.0 if (is_bias and not bias_decay) else weight_decay
+        lr_mult = 2.0 if (is_bias and double_bias) else 1.0
+        g = g + wd * p
+        v = momentum * v + g
+        return p - state.lr * lr_mult * v, v
+
+    out = jax.tree.map(upd, params, grads, state.velocity, bias, trainable)
+    new_params = jax.tree.map(lambda _, o: o[0], params, out,
+                              is_leaf=lambda x: isinstance(x, tuple))
+    new_vel = jax.tree.map(lambda _, o: o[1], params, out,
+                           is_leaf=lambda x: isinstance(x, tuple))
+    return new_params, SGDState(velocity=new_vel, lr=state.lr)
+
+
+def clip_gradients(grads, clip_norm: float):
+    """Per-leaf total-norm clip (net_utils.clip_gradient:37-48 semantics:
+    one global norm over all grads, scale if above)."""
+    total = jnp.sqrt(sum(jnp.sum(jnp.square(g))
+                         for g in jax.tree.leaves(grads)))
+    scale = jnp.minimum(1.0, clip_norm / jnp.maximum(total, 1e-12))
+    return jax.tree.map(lambda g: g * scale, grads)

@@ -1,0 +1,96 @@
+"""Jitted episodic train/predict steps + data-parallel sharding.
+
+Replaces the reference's train loop body (train.py:122-144) and its
+nn.DataParallel scatter/gather (train.py:104-105, 138-139) with ONE
+pjit-compiled step over a 1-D `data` mesh: batch sharded on `data`,
+params/optimizer replicated, gradient mean inserted by XLA as an ICI
+all-reduce.  The total loss is the sum of the four heads' losses
+(train.py:137).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from dana_tpu.engine import optim
+from dana_tpu.models import dana
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt: optim.SGDState
+    step: jnp.ndarray
+
+
+def create_train_state(params, lr: float) -> TrainState:
+    opt = optim.sgd_init(params)._replace(lr=jnp.asarray(lr, jnp.float32))
+    return TrainState(params=params, opt=opt, step=jnp.asarray(0, jnp.int32))
+
+
+def loss_fn(params, config: dana.DanaConfig, batch, rng):
+    out = dana.forward(params, config, batch['im_data'], batch['im_info'],
+                       batch['support_ims'], training=True,
+                       gt_boxes=batch['gt_boxes'], rng=rng)
+    losses = {k: out[k] for k in
+              ('rpn_loss_cls', 'rpn_loss_box', 'rcnn_loss_cls',
+               'rcnn_loss_bbox')}
+    total = sum(losses.values())
+    metrics = dict(losses, loss=total,
+                   fg_cnt=(out['rois_label'] > 0).sum(),
+                   bg_cnt=(out['rois_label'] == 0).sum())
+    return total, metrics
+
+
+def make_train_step(config: dana.DanaConfig, trainable=None, *, momentum=0.9,
+                    weight_decay=0.0005, double_bias=True, clip_norm=0.0):
+    """Build the jitted train step.  `trainable` is a Python-bool tree
+    (trace-time constant: frozen leaves never enter the autodiff update)."""
+
+    @jax.jit
+    def step(state: TrainState, batch, rng):
+        key = jax.random.fold_in(rng, state.step)
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, config, batch, key)
+        if clip_norm:
+            grads = optim.clip_gradients(grads, clip_norm)
+        new_params, new_opt = optim.sgd_update(
+            state.params, grads, state.opt, momentum=momentum,
+            weight_decay=weight_decay, double_bias=double_bias,
+            trainable=trainable)
+        return TrainState(params=new_params, opt=new_opt,
+                          step=state.step + 1), metrics
+
+    return step
+
+
+@functools.partial(jax.jit, static_argnames=('config',))
+def predict_step(params, config: dana.DanaConfig, im_data, im_info,
+                 support_ims):
+    return dana.forward(params, config, im_data, im_info, support_ims,
+                        training=False)
+
+
+# ----------------------------------------------------------------------------
+# Data-parallel mesh wiring
+# ----------------------------------------------------------------------------
+
+def make_mesh(devices=None, axis: str = 'data') -> Mesh:
+    import numpy as np
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.array(devices), (axis,))
+
+
+def shard_batch(batch, mesh: Mesh, axis: str = 'data'):
+    """Place a host batch with leading batch axis sharded over the mesh."""
+    sharding = NamedSharding(mesh, P(axis))
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def replicate(tree, mesh: Mesh):
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)

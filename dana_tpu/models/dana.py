@@ -1,0 +1,355 @@
+"""DAnA (Dual-Awareness Attention) few-shot detector, TPU-native.
+
+Functional re-design of the reference _DAnARCNN
+(/root/reference/lib/model/framework/dana.py:19-388).  The per-shot Python
+loops over bmm/softmax (dana.py:123-151, 260-280) become batched einsums
+over a shot axis; the per-image chunk loop of rcnn_head (dana.py:250-259)
+disappears because everything stays [B, R, ...] batched.  Param-tree key
+names mirror the torch module names 1:1 (rpn_adapt_q_layer,
+output_score_layer.linear1, ...) so the released `cisa_coco_ft30`
+checkpoint converts mechanically.
+
+Shapes follow the reference: supports are [B, n_images, 320, 320, 3]
+(NHWC), base features stride 16 -> support tokens 20x20=400; RoI tokens
+7x7=49.  All attention shapes are static; masks carry validity.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dana_tpu.core.anchors import generate_anchors, shifted_anchors
+from dana_tpu.models import layers as L
+from dana_tpu.models import resnet
+from dana_tpu.models import rpn as rpn_lib
+from dana_tpu.models.losses import (hard_mined_pair_ce, masked_cross_entropy,
+                                    smooth_l1_loss)
+from dana_tpu.ops.roi_align import roi_align
+from dana_tpu.ops.roi_pool import roi_pool
+
+
+@dataclasses.dataclass(frozen=True)
+class DanaConfig:
+    """Static model/trace configuration (hashable: usable as a jit static
+    arg).  Field names/defaults follow DAnARCNN.__init__ (dana.py:328-334)
+    and the global cfg keys it reads."""
+    n_way: int = 2
+    n_shot: int = 3
+    attention_type: str = 'concat'          # 'concat' | 'product'
+    rpn_reduce_dim: int = 256
+    rcnn_reduce_dim: int = 256
+    gamma: float = 0.1                      # channel_gamma (BA block)
+    unary_gamma: float = 0.1
+    semantic_enhance: bool = False          # use_BA_block
+    pos_encoding: bool = True
+    arch: str = 'resnet50'
+    pooling_size: int = 7
+    pooling_mode: str = 'align'             # 'align' | 'pool'
+    anchor_scales: tuple = (4, 8, 16, 32)
+    anchor_ratios: tuple = (0.5, 1.0, 2.0)
+    feat_stride: int = 16
+    # proposal layer (cfg.TRAIN/.TEST blocks)
+    train_pre_nms: int = 12000
+    train_post_nms: int = 2000
+    test_pre_nms: int = 6000
+    test_post_nms: int = 300
+    rpn_nms_thresh: float = 0.7
+    nms_cap: int = 6000
+    # target layers
+    rpn_batchsize: int = 256
+    rpn_fg_fraction: float = 0.5
+    rpn_pos_overlap: float = 0.7
+    rpn_neg_overlap: float = 0.3
+    rois_per_image: int = 128
+    fg_fraction: float = 0.25
+    fg_thresh: float = 0.5
+    bg_thresh_hi: float = 0.5
+    bg_thresh_lo: float = 0.1
+    bbox_normalize_means: tuple = (0.0, 0.0, 0.0, 0.0)
+    bbox_normalize_stds: tuple = (0.1, 0.1, 0.2, 0.2)
+    compute_dtype: Any = jnp.float32
+
+    @property
+    def num_anchors(self):
+        return len(self.anchor_scales) * len(self.anchor_ratios)
+
+    @property
+    def rpn_din(self):
+        return 2048 if self.attention_type == 'concat' else 1024
+
+
+def positional_encoding(length: int, d_model: int = 1024) -> np.ndarray:
+    """Sinusoidal PE table (dana.py PositionalEncoding:338-353)."""
+    pe = np.zeros((length, d_model), np.float32)
+    position = np.arange(length, dtype=np.float64)[:, None]
+    div = np.exp(np.arange(0, d_model, 2, dtype=np.float64)
+                 * -(math.log(10000.0) / d_model))
+    pe[:, 0::2] = np.sin(position * div)
+    pe[:, 1::2] = np.cos(position * div)
+    return pe
+
+
+def init_params(config: DanaConfig, seed: int = 0,
+                backbone_params=None) -> dict:
+    """Random-init the full DAnA param tree (init conventions of
+    dana.py:44-69 & _init_weights:222-238: normal std 0.01, bbox_pred
+    std 0.001, zero biases; FFN linears use torch Linear default
+    kaiming-uniform — approximated with the same uniform bound)."""
+    rng = np.random.default_rng(seed)
+    d = 1024
+
+    def lin(cin, cout, std=0.01):
+        return L.init_linear(rng, cin, cout, std=std)
+
+    def torch_default_lin(cin, cout):
+        bound = 1.0 / math.sqrt(cin)
+        return {'weight': rng.uniform(-bound, bound, (cin, cout)).astype(np.float32),
+                'bias': rng.uniform(-bound, bound, (cout,)).astype(np.float32)}
+
+    p = {
+        'backbone': backbone_params if backbone_params is not None
+        else resnet.init_params(config.arch, seed=seed),
+        'rpn_unary_layer': lin(d, 1),
+        'rcnn_unary_layer': lin(d, 1),
+        'rpn_adapt_q_layer': lin(d, config.rpn_reduce_dim),
+        'rpn_adapt_k_layer': lin(d, config.rpn_reduce_dim),
+        'rcnn_adapt_q_layer': lin(d, config.rcnn_reduce_dim),
+        'rcnn_adapt_k_layer': lin(d, config.rcnn_reduce_dim),
+        'RCNN_rpn': rpn_lib.init_rpn_params(rng, config.rpn_din,
+                                            config.num_anchors),
+        'rcnn_transform_layer': torch_default_lin(config.rpn_din, 64),
+        'output_score_layer': {
+            'linear1': torch_default_lin(64 * config.pooling_size ** 2, d),
+            'linear2': torch_default_lin(d, 2),
+        },
+        'RCNN_bbox_pred': lin(2048, 4, std=0.001),
+    }
+    if config.semantic_enhance:
+        p['rpn_channel_k_layer'] = lin(d, 1)
+    return p
+
+
+def _cisa_attention(q_tokens, s_tokens, params, prefix, reduce_dim,
+                    unary_gamma, se_params=None, gamma=0.1):
+    """CISA block: query-conditioned support aggregation (dana.py:120-151).
+
+    Args:
+      q_tokens: [..., Nq, 1024] query tokens (PE already applied if used).
+      s_tokens: [..., shot, Ns, 1024] support tokens (PE applied).
+      prefix: 'rpn' | 'rcnn' selects the q/k/unary param names.
+    Returns [..., Nq, 1024]: attended support feature, mean over shots.
+    """
+    if se_params is not None:
+        # BA block (semantic_enhance, dana.py:133-137): spatial softmax ->
+        # global channel vector -> leaky_relu residual
+        w = L.linear(s_tokens, se_params)                       # [...,shot,Ns,1]
+        w = jax.nn.softmax(w, axis=-2)
+        glob = jnp.sum(w * s_tokens, axis=-2, keepdims=True)    # [...,shot,1,1024]
+        s_tokens = s_tokens + gamma * L.leaky_relu(glob)
+
+    q = L.linear(q_tokens, params[f'{prefix}_adapt_q_layer'])
+    q = q - q.mean(axis=-2, keepdims=True)                      # center over Nq
+    k = L.linear(s_tokens, params[f'{prefix}_adapt_k_layer'])
+    k = k - k.mean(axis=-2, keepdims=True)                      # center over Ns
+
+    # [..., shot, Nq, Ns]
+    attn = jnp.einsum('...qc,...skc->...sqk', q, k) / math.sqrt(reduce_dim)
+    attn = jax.nn.softmax(attn, axis=-1)
+    unary = L.linear(s_tokens, params[f'{prefix}_unary_layer'])  # [...,shot,Ns,1]
+    unary = jax.nn.softmax(unary, axis=-2)
+    attn = attn + unary_gamma * unary[..., 0][..., None, :]  # [...,shot,1,Ns]
+    out = jnp.einsum('...sqk,...skc->...sqc', attn, s_tokens)
+    return out.mean(axis=-3)                                    # mean over shots
+
+
+def _support_tokens(feat, pe_table):
+    """[B, shot, h, w, C] -> [B, shot, h*w, C] (+PE)."""
+    b, s, h, w, c = feat.shape
+    tokens = feat.reshape(b, s, h * w, c)
+    if pe_table is not None:
+        tokens = tokens + pe_table[:h * w]
+    return tokens
+
+
+def rcnn_head(params, config: DanaConfig, pooled_feat, support_pooled,
+              pe_table):
+    """Per-RoI classification head + bbox regression (dana.py:244-306).
+
+    pooled_feat: [B, R, 7, 7, 1024]; support_pooled: [B, shot, 7, 7, 1024].
+    Returns (bbox_pred [B,R,4], cls_prob [B,R,2], cls_score [B,R,2]).
+    """
+    b, r, ph, pw, c = pooled_feat.shape
+    # bbox branch: layer4 on pooled rois -> spatial mean -> Linear(2048, 4)
+    tail = resnet.top_forward(
+        pooled_feat.reshape(b * r, ph, pw, c), params['backbone'], config.arch)
+    fc7 = tail.mean(axis=(1, 2)).reshape(b, r, -1)
+    bbox_pred = L.linear(fc7, params['RCNN_bbox_pred'])
+
+    q_tokens = pooled_feat.reshape(b, r, ph * pw, c)
+    s_tokens = _support_tokens(support_pooled, pe_table)
+    if config.pos_encoding:
+        q_tokens = q_tokens + pe_table[:ph * pw]
+    # rois attend supports: q [B,R,49,1024], s [B,shot,49,1024] -> broadcast
+    # the shot axis against R by inserting axes: treat batch dims (B, R)
+    q = q_tokens
+    s = s_tokens[:, None]                                      # [B,1,shot,49,c]
+    s = jnp.broadcast_to(s, (b, r, *s.shape[2:]))
+    dense = _cisa_attention(q, s, params, 'rcnn', config.rcnn_reduce_dim,
+                            config.unary_gamma)                # [B,R,49,1024]
+    if config.attention_type == 'concat':
+        corr = jnp.concatenate([q, dense], axis=-1)
+    else:
+        corr = q * dense
+    corr = L.linear(corr, params['rcnn_transform_layer'])      # [B,R,49,64]
+    x = corr.reshape(b, r, -1)
+    x = L.relu(L.linear(x, params['output_score_layer']['linear1']))
+    cls_score = L.linear(x, params['output_score_layer']['linear2'])
+    cls_prob = jax.nn.softmax(cls_score, axis=-1)
+    return bbox_pred, cls_prob, cls_score
+
+
+def extract_support_feats(params, config: DanaConfig, support_ims):
+    """Backbone + pooling on supports.
+
+    support_ims: [B, n, 320, 320, 3] -> (tokens feat [B, n, 20, 20, 1024],
+    pooled [B, n, 7, 7, 1024]) (dana.py:100-108: AvgPool2d(14, stride=1))."""
+    b, n, sh, sw, _ = support_ims.shape
+    flat = support_ims.reshape(b * n, sh, sw, 3).astype(config.compute_dtype)
+    feats = resnet.base_forward(flat, params['backbone'], config.arch)
+    pooled = L.avg_pool(feats, window=14, stride=1)
+    fh, fw, c = feats.shape[1:]
+    return (feats.reshape(b, n, fh, fw, c),
+            pooled.reshape(b, n, *pooled.shape[1:]))
+
+
+def rpn_attention(params, config: DanaConfig, base_feat, support_feat,
+                  rpn_pe_table):
+    """CISA on the RPN path: query feature map attends support tokens
+    (dana.py:118-156). base_feat [B,h,w,1024], support_feat
+    [B,shot,20,20,1024] -> correlation feat [B,h,w,din]."""
+    b, h, w, c = base_feat.shape
+    q_tokens = base_feat.reshape(b, h * w, c)   # no PE on query (RPN path)
+    pe = rpn_pe_table if config.pos_encoding else None
+    s_tokens = _support_tokens(support_feat, pe)
+    se = params.get('rpn_channel_k_layer') if config.semantic_enhance else None
+    dense = _cisa_attention(q_tokens, s_tokens, params, 'rpn',
+                            config.rpn_reduce_dim, config.unary_gamma,
+                            se, config.gamma)
+    dense = dense.reshape(b, h, w, c)
+    if config.attention_type == 'concat':
+        return jnp.concatenate([base_feat, dense], axis=-1)
+    return base_feat * dense
+
+
+def _pool_rois(config: DanaConfig, base_feat, rois):
+    if config.pooling_mode == 'align':
+        return roi_align(base_feat, rois, config.pooling_size, 1.0 / 16.0, 0)
+    return roi_pool(base_feat, rois, config.pooling_size, 1.0 / 16.0)
+
+
+def forward(params, config: DanaConfig, im_data, im_info, support_ims,
+            training: bool = False, gt_boxes=None, rng=None):
+    """Full episodic forward (dana.py:87-220).
+
+    Args:
+      im_data: [B, H, W, 3] preprocessed query images (BGR, mean-sub).
+      im_info: [B, 3] (height, width, scale).
+      support_ims: [B, n_way*n_shot (train) | n_shot (eval), 320, 320, 3].
+      gt_boxes: [B, G, 5] padded gt (train only; class col holds 1).
+      rng: PRNG key (train only; drives target-layer sampling).
+
+    Returns a dict mirroring the reference 8-tuple: rois, cls_prob,
+    bbox_pred, rpn_loss_cls, rpn_loss_box, rcnn_loss_cls, rcnn_loss_bbox,
+    rois_label (plus neg-branch scores at train for the mined loss).
+    """
+    cdt = config.compute_dtype
+    base_feat = resnet.base_forward(im_data.astype(cdt), params['backbone'],
+                                    config.arch)
+    b, fh, fw, _ = base_feat.shape
+
+    sup_feat, sup_pooled = extract_support_feats(params, config, support_ims)
+    pos_feat = sup_feat[:, :config.n_shot]
+    pos_pooled = sup_pooled[:, :config.n_shot]
+    if training:
+        neg_pooled = sup_pooled[:, config.n_shot:config.n_way * config.n_shot]
+
+    rpn_pe = jnp.asarray(positional_encoding(20 * 20), cdt)
+    roi_pe = jnp.asarray(positional_encoding(config.pooling_size ** 2), cdt)
+
+    corr = rpn_attention(params, config, base_feat, pos_feat, rpn_pe)
+
+    logits, probs_fg, deltas = rpn_lib.rpn_forward(
+        corr, params['RCNN_rpn'], config.num_anchors)
+
+    base_anchor = generate_anchors(
+        ratios=config.anchor_ratios, scales=np.array(config.anchor_scales))
+    anchors = shifted_anchors(fh, fw, config.feat_stride, base_anchor)
+
+    pre_nms = config.train_pre_nms if training else config.test_pre_nms
+    post_nms = config.train_post_nms if training else config.test_post_nms
+    # proposal selection is non-differentiable in the reference (inputs are
+    # .data tensors, _ProposalLayer.backward is a no-op) — cut the gradient
+    # so autodiff never traverses NMS/top-k
+    rois, roi_scores, roi_mask = rpn_lib.proposal_layer(
+        jax.lax.stop_gradient(probs_fg.astype(jnp.float32)),
+        jax.lax.stop_gradient(deltas.astype(jnp.float32)), anchors,
+        im_info, pre_nms_top_n=pre_nms, post_nms_top_n=post_nms,
+        nms_thresh=config.rpn_nms_thresh, nms_cap=config.nms_cap)
+
+    out = {}
+    rois_label = None
+    if training:
+        k_anchor, k_roi = jax.random.split(rng)
+        labels, at_targets, at_in_w, at_out_w = rpn_lib.anchor_target(
+            anchors, gt_boxes, im_info, k_anchor,
+            batch_rois=config.rpn_batchsize,
+            fg_fraction=config.rpn_fg_fraction,
+            pos_overlap=config.rpn_pos_overlap,
+            neg_overlap=config.rpn_neg_overlap)
+        rpn_loss_cls = masked_cross_entropy(
+            logits.astype(jnp.float32), labels, labels != -1)
+        rpn_loss_box = smooth_l1_loss(
+            deltas.astype(jnp.float32), at_targets, at_in_w[..., None],
+            at_out_w[..., None], sigma=3.0)
+
+        (rois, rois_label, rois_target, rois_in_w, rois_out_w) = \
+            jax.lax.stop_gradient(rpn_lib.proposal_target(
+                rois, gt_boxes, k_roi,
+                rois_per_image=config.rois_per_image,
+                fg_fraction=config.fg_fraction, fg_thresh=config.fg_thresh,
+                bg_thresh_hi=config.bg_thresh_hi,
+                bg_thresh_lo=config.bg_thresh_lo,
+                bbox_normalize_means=config.bbox_normalize_means,
+                bbox_normalize_stds=config.bbox_normalize_stds))
+        out.update(rpn_loss_cls=rpn_loss_cls, rpn_loss_box=rpn_loss_box)
+
+    pooled = _pool_rois(config, base_feat, rois.astype(cdt))   # [B,R,7,7,C]
+
+    bbox_pred, cls_prob, cls_score = rcnn_head(
+        params, config, pooled, pos_pooled, roi_pe)
+
+    if training:
+        neg_bbox, neg_prob, neg_score = rcnn_head(
+            params, config, pooled, neg_pooled, roi_pe)
+        # flattened over all rois of all images, like the reference's
+        # _smooth_l1_loss default dim=[1] on [B*R, 4] (dana.py:201)
+        rcnn_loss_bbox = smooth_l1_loss(
+            bbox_pred.reshape(-1, 4).astype(jnp.float32),
+            rois_target.reshape(-1, 4), rois_in_w.reshape(-1, 4),
+            rois_out_w.reshape(-1, 4), sigma=1.0, reduce_dims=(1,))
+        rcnn_loss_cls = hard_mined_pair_ce(
+            cls_score.astype(jnp.float32), rois_label,
+            neg_score.astype(jnp.float32))
+        out.update(rcnn_loss_cls=rcnn_loss_cls, rcnn_loss_bbox=rcnn_loss_bbox,
+                   neg_cls_score=neg_score)
+
+    out.update(rois=rois, cls_prob=cls_prob, bbox_pred=bbox_pred,
+               cls_score=cls_score, rois_label=rois_label,
+               roi_mask=None if training else roi_mask)
+    return out

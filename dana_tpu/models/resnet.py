@@ -1,0 +1,159 @@
+"""Functional ResNet backbone with the two detection-specific diffs of the
+reference (/root/reference/lib/model/framework/resnet.py):
+
+  * stride lives on conv1 of the Bottleneck, not conv2 (resnet.py:71)
+  * stem maxpool is kernel 3 / stride 2 / padding 0 / ceil_mode=True
+    (resnet.py:113)
+
+Layout is NHWC / HWIO (TPU-native).  Param trees mirror the torch
+state_dict key structure (``layer1.0.downsample.0.weight`` etc.) so
+reference Caffe checkpoints convert 1:1 (`convert_torch_state_dict`).
+
+The detector split follows dana.py:344-346: ``RCNN_base`` = conv1..layer3
+(1024 ch, stride 16), ``RCNN_top`` = layer4 (2048 ch).  All BatchNorms are
+frozen (dana.py:362-385), so forward is inference-mode affine BN always.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from dana_tpu.models import layers as L
+from dana_tpu.models.layers import relu as _relu
+
+ARCH_LAYERS = {
+    'resnet18': ('basic', [2, 2, 2, 2]),
+    'resnet34': ('basic', [3, 4, 6, 3]),
+    'resnet50': ('bottleneck', [3, 4, 6, 3]),
+    'resnet101': ('bottleneck', [3, 4, 23, 3]),
+    'resnet152': ('bottleneck', [3, 8, 36, 3]),
+}
+
+
+def _bottleneck(x, p, stride):
+    out = L.conv2d(x, p['conv1'], stride=stride, padding='VALID')
+    out = L.frozen_batchnorm(out, p['bn1'])
+    out = _relu(out)
+    out = L.conv2d(out, p['conv2'], stride=1, padding=1)
+    out = L.frozen_batchnorm(out, p['bn2'])
+    out = _relu(out)
+    out = L.conv2d(out, p['conv3'], stride=1, padding='VALID')
+    out = L.frozen_batchnorm(out, p['bn3'])
+    if 'downsample' in p:
+        residual = L.conv2d(x, p['downsample']['0'], stride=stride,
+                            padding='VALID')
+        residual = L.frozen_batchnorm(residual, p['downsample']['1'])
+    else:
+        residual = x
+    return _relu(out + residual)
+
+
+def _basic_block(x, p, stride):
+    out = L.conv2d(x, p['conv1'], stride=stride, padding=1)
+    out = L.frozen_batchnorm(out, p['bn1'])
+    out = _relu(out)
+    out = L.conv2d(out, p['conv2'], stride=1, padding=1)
+    out = L.frozen_batchnorm(out, p['bn2'])
+    if 'downsample' in p:
+        residual = L.conv2d(x, p['downsample']['0'], stride=stride,
+                            padding='VALID')
+        residual = L.frozen_batchnorm(residual, p['downsample']['1'])
+    else:
+        residual = x
+    return _relu(out + residual)
+
+
+def _layer(x, p, stride, block_fn):
+    for i in range(len(p)):
+        x = block_fn(x, p[str(i)], stride if i == 0 else 1)
+    return x
+
+
+def stem(x, params):
+    """conv1 + bn1 + relu + ceil-mode maxpool (resnet.py:111-113)."""
+    x = L.conv2d(x, params['conv1'], stride=2, padding=3)
+    x = L.frozen_batchnorm(x, params['bn1'])
+    x = _relu(x)
+    return L.max_pool(x, window=3, stride=2, padding=0, ceil_mode=True)
+
+
+def base_forward(x, params, arch='resnet50'):
+    """RCNN_base: stem + layer1..layer3 -> [B, H/16, W/16, 1024]."""
+    kind, _ = ARCH_LAYERS[arch]
+    block = _bottleneck if kind == 'bottleneck' else _basic_block
+    x = stem(x, params)
+    x = _layer(x, params['layer1'], 1, block)
+    x = _layer(x, params['layer2'], 2, block)
+    x = _layer(x, params['layer3'], 2, block)
+    return x
+
+
+def top_forward(x, params, arch='resnet50'):
+    """RCNN_top: layer4 -> [..., 2048] features (stride 2)."""
+    kind, _ = ARCH_LAYERS[arch]
+    block = _bottleneck if kind == 'bottleneck' else _basic_block
+    return _layer(x, params['layer4'], 2, block)
+
+
+# ----------------------------------------------------------------------------
+# Init + torch checkpoint conversion
+# ----------------------------------------------------------------------------
+
+def init_params(arch='resnet50', seed=0):
+    """Random-init backbone params (He conv init, resnet.py:124-130)."""
+    kind, counts = ARCH_LAYERS[arch]
+    rng = np.random.default_rng(seed)
+    expansion = 4 if kind == 'bottleneck' else 1
+    params = {'conv1': L.init_conv(rng, 7, 7, 3, 64), 'bn1': L.init_bn(64)}
+    inplanes = 64
+    for li, (planes, blocks) in enumerate(zip([64, 128, 256, 512], counts)):
+        layer = {}
+        stride = 1 if li == 0 else 2
+        for b in range(blocks):
+            s = stride if b == 0 else 1
+            out = planes * expansion
+            if kind == 'bottleneck':
+                blk = {
+                    'conv1': L.init_conv(rng, 1, 1, inplanes, planes),
+                    'bn1': L.init_bn(planes),
+                    'conv2': L.init_conv(rng, 3, 3, planes, planes),
+                    'bn2': L.init_bn(planes),
+                    'conv3': L.init_conv(rng, 1, 1, planes, out),
+                    'bn3': L.init_bn(out),
+                }
+            else:
+                blk = {
+                    'conv1': L.init_conv(rng, 3, 3, inplanes, planes),
+                    'bn1': L.init_bn(planes),
+                    'conv2': L.init_conv(rng, 3, 3, planes, planes),
+                    'bn2': L.init_bn(planes),
+                }
+            if s != 1 or inplanes != out:
+                blk['downsample'] = {
+                    '0': L.init_conv(rng, 1, 1, inplanes, out),
+                    '1': L.init_bn(out),
+                }
+            layer[str(b)] = blk
+            inplanes = out
+        params[f'layer{li + 1}'] = layer
+    return params
+
+
+def convert_torch_state_dict(state_dict):
+    """Convert a torch ResNet state_dict (numpy values or torch tensors) to
+    our nested NHWC param tree.  Ignores fc.* (the detector drops it,
+    dana.py:344-346) and num_batches_tracked buffers."""
+    out = {}
+    for key, val in state_dict.items():
+        if key.startswith('fc.') or key.endswith('num_batches_tracked'):
+            continue
+        v = np.asarray(getattr(val, 'numpy', lambda: val)())
+        parts = key.split('.')
+        leaf = parts[-1]
+        if v.ndim == 4:  # conv OIHW -> HWIO
+            v = v.transpose(2, 3, 1, 0)
+        node = out
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[leaf] = v.astype(np.float32)
+    return out

@@ -105,10 +105,13 @@ def roi_align(feat: jnp.ndarray, rois: jnp.ndarray, output_size: int = 7,
                            sampling_ratio)                  # [R,P,W]
         wy = wy.astype(dtype)
         wx = wx.astype(dtype)
-        # [R,P,H] x [H, W*C] -> [R,P,W,C]; then contract W per roi
-        tmp = jnp.einsum('rph,hwc->rpwc', wy, f,
+        # [R,P,H] x [H, W*C] -> [R,P,W,C]; then contract W per roi.
+        # precision=highest: parity with the CUDA kernel's fp32 math — the
+        # TPU default would run fp32 matmuls in bf16 passes.
+        prec = jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
+        tmp = jnp.einsum('rph,hwc->rpwc', wy, f, precision=prec,
                          preferred_element_type=jnp.float32).astype(dtype)
-        out = jnp.einsum('rqw,rpwc->rpqc', wx, tmp,
+        out = jnp.einsum('rqw,rpwc->rpqc', wx, tmp, precision=prec,
                          preferred_element_type=jnp.float32).astype(dtype)
         return out
 

@@ -1,0 +1,82 @@
+"""Import reference PyTorch checkpoints into dana_tpu param trees.
+
+Handles both raw backbone checkpoints (resnet50_caffe.pth) and full
+framework checkpoints ({'model': state_dict, 'epoch', 'optimizer',
+'pooling_mode'} saved by train.py:183-189, e.g. the released
+cisa_coco_ft30).  Layout conversion: conv OIHW -> HWIO, linear
+[out, in] -> [in, out].  torch (CPU build) is only imported lazily here —
+the rest of the framework never touches it.
+
+Key mapping (reference dana.py:344-346):
+  RCNN_base.0 -> backbone.conv1     RCNN_base.4 -> backbone.layer1
+  RCNN_base.1 -> backbone.bn1       RCNN_base.5 -> backbone.layer2
+  RCNN_top.0  -> backbone.layer4    RCNN_base.6 -> backbone.layer3
+Everything else keeps its torch module name verbatim.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_BASE_MAP = {
+    'RCNN_base.0': 'backbone.conv1',
+    'RCNN_base.1': 'backbone.bn1',
+    'RCNN_base.4': 'backbone.layer1',
+    'RCNN_base.5': 'backbone.layer2',
+    'RCNN_base.6': 'backbone.layer3',
+    'RCNN_top.0': 'backbone.layer4',
+}
+
+
+def load_state_dict(path: str) -> dict:
+    """Load a .pth file -> flat {name: np.ndarray} state dict."""
+    import torch
+    ckpt = torch.load(path, map_location='cpu', weights_only=False)
+    extra = {}
+    if isinstance(ckpt, dict) and 'model' in ckpt:
+        extra = {k: v for k, v in ckpt.items() if k != 'model'}
+        ckpt = ckpt['model']
+    state = {k: np.asarray(v.detach().numpy() if hasattr(v, 'detach') else v)
+             for k, v in ckpt.items()}
+    return state, extra
+
+
+def _convert_leaf(name: str, v: np.ndarray) -> np.ndarray:
+    if v.ndim == 4:                      # conv OIHW -> HWIO
+        return np.ascontiguousarray(v.transpose(2, 3, 1, 0)).astype(np.float32)
+    if v.ndim == 2 and name.endswith('weight'):   # linear [out,in] -> [in,out]
+        return np.ascontiguousarray(v.T).astype(np.float32)
+    return v.astype(np.float32) if v.dtype.kind == 'f' else v
+
+
+def convert_dana_state_dict(state: dict) -> dict:
+    """Flat torch DAnA state dict -> nested dana_tpu param tree."""
+    out = {}
+    for key, v in state.items():
+        if key.endswith('num_batches_tracked') or key.startswith('pe'):
+            continue
+        mapped = key
+        for src, dst in _BASE_MAP.items():
+            if key.startswith(src + '.'):
+                mapped = dst + key[len(src):]
+                break
+        parts = mapped.split('.')
+        node = out
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = _convert_leaf(mapped, v)
+    return out
+
+
+def load_dana_checkpoint(path: str):
+    """-> (param_tree, extra) where extra carries epoch/pooling_mode."""
+    state, extra = load_state_dict(path)
+    return convert_dana_state_dict(state), extra
+
+
+def load_caffe_resnet(path: str) -> dict:
+    """Backbone-only checkpoint (data/pretrained_model/resnet50_caffe.pth,
+    dana.py:330,339-341) -> backbone param subtree."""
+    state, _ = load_state_dict(path)
+    from dana_tpu.models.resnet import convert_torch_state_dict
+    return convert_torch_state_dict(state)
