@@ -1,0 +1,118 @@
+"""Dataset registry: name -> constructor.
+
+Parity: /root/reference/lib/datasets/factory.py:14-102 — every reference
+registry name resolves here (coco FSOD splits, episodes, finetune, plain
+coco, ycb2d, pascal_voc), plus environment-local `synth_*` sets.
+Datasets are constructed lazily; missing annotation files raise at
+construction with the expected path in the error.
+"""
+
+from __future__ import annotations
+
+import os.path as osp
+
+from dana_tpu.data.coco_split import CocoFormatDataset, coco_split, \
+    _coco_image_name
+
+__sets = {}
+
+
+def _register(name, fn):
+    __sets[name] = fn
+
+
+def _coco_dir():
+    from dana_tpu.utils.config import cfg
+    return osp.join(cfg.DATA_DIR, 'coco')
+
+
+def _register_all():
+    # FSOD splits (factory.py:57-71)
+    for year in ['set1', 'set2', 'set3', 'set4']:
+        for split in ['60']:
+            name = f'coco_{split}_{year}'
+            _register(name, lambda s=split, y=year: coco_split(s, y))
+    for year in ['set1', 'set2']:
+        name = f'coco_20_{year}'
+        _register(name, lambda y=year: coco_split('20', y))
+    for tag in ['3way1', '3way2']:
+        _register(f'coco_20_{tag}', lambda t=tag: coco_split('3way', t))
+    for tag in ['5way1', '5way2']:
+        _register(f'coco_20_{tag}', lambda t=tag: coco_split('5way', t))
+    _register('coco_vis_set1', lambda: coco_split('vis', 'set1'))
+    _register('coco_ft_shot30', lambda: coco_split('shot', 'shot30'))
+
+    # pre-generated episodes (factory.py:73-77, episode.py:70-76)
+    def episode_ds(kind, n):
+        d = _coco_dir()
+        sub = {'novel': ('coco_epi', f'novel_ep{n}.json', 'val2014'),
+               'base': ('coco_epi', f'base_ep{n}.json', 'val2014'),
+               'val': ('coco_val', f'val_ep{n}.json', 'val2014')}[kind]
+        ann = osp.join(d, 'annotations', sub[0], sub[1])
+        return CocoFormatDataset(f'coco_{kind}_ep{n}', ann,
+                                 osp.join(d, 'images', sub[2]),
+                                 _coco_image_name(sub[2]))
+    for n in range(600):
+        _register(f'coco_novel_ep{n}', lambda k='novel', i=n: episode_ds(k, i))
+        _register(f'coco_base_ep{n}', lambda k='base', i=n: episode_ds(k, i))
+        _register(f'coco_val_ep{n}', lambda k='val', i=n: episode_ds(k, i))
+
+    # standard COCO 2014 (coco.py; factory.py:47-55)
+    def coco2014(split):
+        d = _coco_dir()
+        ann = osp.join(d, 'annotations', f'instances_{split}2014.json')
+        return CocoFormatDataset(f'coco_2014_{split}', ann,
+                                 osp.join(d, 'images', f'{split}2014'),
+                                 _coco_image_name(f'{split}2014'))
+    for split in ['train', 'val', 'minival', 'valminusminival']:
+        _register(f'coco_2014_{split}', lambda s=split: coco2014(s))
+
+    # coco80 finetune (coco_finetune.py:63-66)
+    def coco_ft():
+        d = _coco_dir()
+        ann = osp.join(d, 'annotations', 'coco80_finetune',
+                       'instances_shot.json')
+        return CocoFormatDataset('coco_80_ft', ann,
+                                 osp.join(d, 'images', 'train2014'),
+                                 _coco_image_name('train2014'))
+    _register('coco_80_ft', coco_ft)
+
+    # ycb2d robotics sets (ycb2d.py; factory.py:14-44): COCO-format anns
+    def ycb2d(split):
+        from dana_tpu.utils.config import cfg
+        d = osp.join(cfg.DATA_DIR, 'ycb2d')
+        ann = osp.join(d, 'annotations', f'{split}.json')
+        return CocoFormatDataset(f'ycb2d_{split}', ann,
+                                 osp.join(d, 'images'))
+    for split in ['train', 'val', 'test', 'debug', 'strict', 'normal',
+                  'hard', 'ycbv_train', 'ycbv_debug']:
+        _register(f'ycb2d_{split}', lambda s=split: ycb2d(s))
+
+    # pascal voc (pascal_voc.py)
+    def voc(year, split):
+        from dana_tpu.data.pascal_voc import pascal_voc
+        return pascal_voc(split, year)
+    for year in ['2007', '2012']:
+        for split in ['train', 'val', 'trainval', 'test']:
+            _register(f'voc_{year}_{split}',
+                      lambda y=year, s=split: voc(y, s))
+
+    # synthetic environment-local sets
+    from dana_tpu.data.synth import synth_fsod
+    _register('synth_train', lambda: synth_fsod('train'))
+    _register('synth_test', lambda: synth_fsod('test', num_images=20))
+
+
+_register_all()
+
+
+def get_imdb(name: str):
+    """Construct the dataset registered under `name`
+    (factory.py get_imdb:93-97)."""
+    if name not in __sets:
+        raise KeyError(f'Unknown dataset: {name}')
+    return __sets[name]()
+
+
+def list_imdbs():
+    return list(__sets.keys())

@@ -1,0 +1,227 @@
+"""Episodic few-shot training loader.
+
+Parity: /root/reference/lib/roi_data_layer/fs_loader.py:16-354, re-designed
+for static TPU shapes:
+
+  * The reference's per-batch aspect-ratio unification + random crop
+    (fs_loader.py:39-53, 186-283) is replaced by padding each scaled query
+    onto one of a small set of static bucket canvases (blob.DEFAULT_BUCKETS)
+    — each bucket compiles once; batches group same-bucket images.
+  * The support DB keeps the reference filters exactly: non-flipped
+    entries, non-crowd boxes, both sides >= 64 px, aspect ratio <= 2
+    (fs_loader.py:58-78).
+  * Per-item RNG is a seeded default_rng(seed, index) stream instead of
+    global `random` state — deterministic under parallel workers.
+
+Each item is ONE episode: a query image, `shot` positive supports of one
+class present in the query (gt filtered to that class, labels remapped to
+1, fs_loader.py:286-291), and `shot` negative supports of an absent class.
+"""
+
+from __future__ import annotations
+
+import threading
+from queue import Queue
+
+import numpy as np
+
+from dana_tpu.data import blob
+
+
+def build_support_db(roidb, num_classes, size_threshold=64):
+    """class idx -> list of {'roidb_idx', 'box'} (fs_loader.py:58-78)."""
+    db = [[] for _ in range(num_classes)]
+    for roidb_idx, entry in enumerate(roidb):
+        if entry.get('flipped'):
+            continue
+        overlaps = entry['gt_overlaps']
+        overlaps = overlaps.toarray() if hasattr(overlaps, 'toarray') \
+            else overlaps
+        gt_inds = np.where((entry['gt_classes'] != 0)
+                           & np.all(overlaps > -1.0, axis=1))[0]
+        for i in gt_inds:
+            box = entry['boxes'][i].astype(np.float32)
+            cls = int(entry['gt_classes'][i])
+            w, h = box[2] - box[0], box[3] - box[1]
+            if w < size_threshold or h < size_threshold \
+                    or w > 2 * h or h > 2 * w:
+                continue
+            db[cls].append({'roidb_idx': roidb_idx, 'box': box})
+    return db
+
+
+class FewShotLoader:
+    def __init__(self, roidb, num_classes, training=True, num_way=2,
+                 num_shot=5, max_num_box=20, seed=1996,
+                 pixel_means=None, buckets=blob.DEFAULT_BUCKETS,
+                 scale=600, max_size=1000, support_size=320):
+        from dana_tpu.utils.config import cfg
+        self.roidb = roidb
+        self.num_classes = num_classes
+        self.training = training
+        self.num_way = num_way
+        self.num_shot = num_shot
+        self.max_num_box = max_num_box
+        self.seed = seed
+        self.pixel_means = (pixel_means if pixel_means is not None
+                            else cfg.PIXEL_MEANS)
+        self.buckets = buckets
+        self.scale = scale
+        self.max_size = max_size
+        self.support_size = support_size
+        self.support_db = build_support_db(roidb, num_classes)
+        self._im_cache = {}
+
+    def __len__(self):
+        return len(self.roidb)
+
+    # -- helpers -----------------------------------------------------------
+    def _read(self, entry):
+        return blob.imread_bgr(entry['image'])
+
+    def _support_image(self, info, rng):
+        entry = self.roidb[info['roidb_idx']]
+        im = self._read(entry)
+        return blob.support_blob(im, info['box'], self.pixel_means,
+                                 self.support_size)
+
+    def _sample_supports(self, cls, rng, replace_ok=True):
+        pool = self.support_db[cls]
+        if len(pool) >= self.num_shot:
+            idx = rng.choice(len(pool), self.num_shot, replace=False)
+        else:
+            idx = rng.choice(max(len(pool), 1), self.num_shot, replace=True)
+        return [self._support_image(pool[int(i)], rng) for i in idx]
+
+    def bucket_of(self, index):
+        """Static canvas this entry lands on (for batch grouping)."""
+        e = self.roidb[index]
+        h, w = e['height'], e['width']
+        s = min(float(self.scale) / min(h, w),
+                float(self.max_size) / max(h, w))
+        return blob.pick_bucket(round(h * s), round(w * s), self.buckets)
+
+    # -- episode assembly --------------------------------------------------
+    def __getitem__(self, index):
+        entry = self.roidb[index]
+        rng = np.random.default_rng((self.seed, index))
+
+        im = self._read(entry)
+        im_data, im_info = blob.query_blob(
+            im, self.pixel_means, self.scale, self.max_size,
+            flipped=bool(entry.get('flipped')), buckets=self.buckets)
+        scale = im_info[2]
+
+        overlaps = entry['gt_overlaps']
+        overlaps = overlaps.toarray() if hasattr(overlaps, 'toarray') \
+            else overlaps
+        gt_inds = np.where((entry['gt_classes'] != 0)
+                           & np.all(overlaps > -1.0, axis=1))[0]
+        gt = np.zeros((len(gt_inds), 5), np.float32)
+        gt[:, :4] = entry['boxes'][gt_inds] * scale
+        gt[:, 4] = entry['gt_classes'][gt_inds]
+        rng.shuffle(gt)
+
+        classes_in_query = sorted({int(c) for c in gt[:, 4]})
+        pos_cls = int(rng.choice(classes_in_query))
+
+        supports = np.zeros((self.num_way * self.num_shot,
+                             self.support_size, self.support_size, 3),
+                            np.float32)
+        for i, s in enumerate(self._sample_supports(pos_cls, rng)):
+            supports[i] = s
+        if self.num_way > 1:
+            absent = [c for c in range(1, self.num_classes)
+                      if c not in classes_in_query and self.support_db[c]]
+            neg_cls = int(rng.choice(absent)) if absent else pos_cls
+            for i, s in enumerate(self._sample_supports(neg_cls, rng)):
+                supports[self.num_shot + i] = s
+
+        # fs gt: positive-class boxes only, label 1 (fs_loader.py:286-291)
+        fs = gt[gt[:, 4] == pos_cls].copy()
+        fs[:, 4] = 1.0
+
+        def pad_boxes(b):
+            out = np.zeros((self.max_num_box, 5), np.float32)
+            valid = (b[:, 0] != b[:, 2]) & (b[:, 1] != b[:, 3])
+            b = b[valid][:self.max_num_box]
+            out[:len(b)] = b
+            return out, len(b)
+
+        fs_pad, num_boxes = pad_boxes(fs)
+        gt_pad, _ = pad_boxes(gt)
+
+        return {
+            'im_data': im_data, 'im_info': im_info,
+            'gt_boxes': fs_pad, 'num_boxes': np.int32(num_boxes),
+            'support_ims': supports, 'all_gt_boxes': gt_pad,
+            'pos_cls': np.int32(pos_cls),
+        }
+
+
+class EpisodicBatcher:
+    """Groups same-bucket episodes into batches (replaces the reference's
+    ratio-grouped `sampler`, fs_loader.py:332-354) with optional
+    background-thread prefetch."""
+
+    def __init__(self, loader: FewShotLoader, batch_size, shuffle=True,
+                 seed=0, drop_last=True):
+        self.loader = loader
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self._epoch = 0
+
+    def _index_batches(self):
+        groups = {}
+        for i in range(len(self.loader)):
+            groups.setdefault(self.loader.bucket_of(i), []).append(i)
+        rng = np.random.default_rng((self.seed, self._epoch))
+        batches = []
+        for bucket, idxs in sorted(groups.items()):
+            idxs = np.array(idxs)
+            if self.shuffle:
+                rng.shuffle(idxs)
+            for s in range(0, len(idxs), self.batch_size):
+                chunk = idxs[s:s + self.batch_size]
+                if len(chunk) < self.batch_size:
+                    if self.drop_last:
+                        continue
+                    chunk = np.concatenate(
+                        [chunk, idxs[:self.batch_size - len(chunk)]])
+                batches.append(list(chunk))
+        if self.shuffle:
+            rng.shuffle(batches)
+        return batches
+
+    def __iter__(self):
+        self._epoch += 1
+        for batch_idx in self._index_batches():
+            items = [self.loader[i] for i in batch_idx]
+            yield {k: np.stack([it[k] for it in items]) for k in items[0]}
+
+    def __len__(self):
+        return len(self._index_batches())
+
+
+def prefetch_to_device(iterator, size=2, device_put=None):
+    """Background-thread prefetch: overlaps host episode assembly with
+    device compute (the BASELINE north-star's double buffering)."""
+    import jax
+    put = device_put or jax.device_put
+    q = Queue(maxsize=size)
+    _end = object()
+
+    def worker():
+        for item in iterator:
+            q.put(put(item))
+        q.put(_end)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _end:
+            return
+        yield item

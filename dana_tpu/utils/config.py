@@ -121,6 +121,8 @@ def _default_cfg() -> AttrDict:
 
     # ---------------- MISC ----------------
     c.DEDUP_BOXES = 1.0 / 16.0
+    c.DATA_DIR = 'data'
+    c.ROOT_DIR = '.'
     # Pixel mean values (BGR order, Caffe convention) as a (1, 1, 3) array.
     c.PIXEL_MEANS = np.array([[[102.9801, 115.9465, 122.7717]]])
     c.RNG_SEED = 3

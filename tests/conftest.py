@@ -1,16 +1,24 @@
-"""Test config: force an 8-virtual-device CPU platform BEFORE jax initializes
-so sharding tests run without TPU hardware."""
+"""Test config: force a real CPU platform with 8 virtual devices.
+
+CRITICAL: the container's sitecustomize (PYTHONPATH=/root/.axon_site)
+registers the axon TPU-tunnel PJRT plugin at interpreter start and
+overrides JAX_PLATFORMS — env vars alone do NOT give you CPU.  The only
+in-process override that works is jax.config.update('jax_platforms',
+'cpu') before any computation runs.  Without it, every test compile goes
+through the remote TPU tunnel (minutes per compile, bf16 f32 matmuls).
+"""
 
 import os
 
-# The container exports JAX_PLATFORMS=axon (the TPU tunnel); tests must
-# run on CPU, so force-override rather than setdefault.
-os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 

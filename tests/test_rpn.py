@@ -9,8 +9,8 @@ from dana_tpu.core.anchors import generate_anchors, shifted_anchors
 from dana_tpu.models import rpn
 
 
-def _anchors(fh=8, fw=10):
-    base = generate_anchors(scales=np.array([8, 16, 32]))
+def _anchors(fh=8, fw=10, scales=(8, 16, 32)):
+    base = generate_anchors(scales=np.array(scales))
     return shifted_anchors(fh, fw, 16, base)
 
 
@@ -38,7 +38,8 @@ def test_proposal_layer_shapes_and_batch_col():
 
 def test_anchor_target_counts_and_masks():
     fh, fw = 8, 10
-    anchors = _anchors(fh, fw)
+    # small anchor scales so plenty of anchors fit inside the 128x160 image
+    anchors = _anchors(fh, fw, scales=(1, 2, 4))
     gt = jnp.zeros((2, 4, 5))
     gt = gt.at[0, 0].set(jnp.array([20.0, 20.0, 90.0, 90.0, 1.0]))
     gt = gt.at[0, 1].set(jnp.array([5.0, 5.0, 40.0, 60.0, 1.0]))
@@ -94,7 +95,10 @@ def test_proposal_target_sampling():
     assert (iw[:4] == 1).all() and (iw[4:] == 0).all()
 
 
-def test_proposal_target_no_fg_image():
+def test_proposal_target_gt_appended_as_fg():
+    """Even when no proposal reaches fg overlap, the appended gt boxes are
+    fg candidates (proposal_target_layer_cascade.py:39-43) — one fg slot,
+    the rest drawn from the single bg roi."""
     key = jax.random.PRNGKey(3)
     gt = jnp.zeros((1, 2, 5)).at[0, 0].set(
         jnp.array([200.0, 200.0, 260.0, 260.0, 1.0]))
@@ -102,9 +106,11 @@ def test_proposal_target_no_fg_image():
         jnp.zeros((8, 1)),
         jnp.array([[0.0, 0.0, 30.0, 30.0]]) + 5.0 * jnp.arange(8)[:, None]],
         axis=1)[None]
-    # rois overlap gt with IoU < 0.1 -> neither fg nor bg... make some bg:
-    rois = rois.at[0, 0].set(jnp.array([0.0, 190.0, 190.0, 250.0, 250.0]))
+    # one bg roi: IoU vs gt ~= 0.15 (in [0.1, 0.5))
+    rois = rois.at[0, 0].set(jnp.array([0.0, 170.0, 170.0, 230.0, 230.0]))
     out_rois, labels, _, in_w, _ = rpn.proposal_target(
         rois, gt, key, rois_per_image=8)
-    assert (np.asarray(labels) == 0).all()
-    assert (np.asarray(in_w) == 0).all()
+    labels = np.asarray(labels)
+    assert (labels[0, :1] == 1).all() and (labels[0, 1:] == 0).all()
+    iw = np.asarray(in_w[0])
+    assert (iw[0] == 1).all() and (iw[1:] == 0).all()
