@@ -53,9 +53,14 @@ def build_support_db(roidb, num_classes, size_threshold=64):
 class FewShotLoader:
     def __init__(self, roidb, num_classes, training=True, num_way=2,
                  num_shot=5, max_num_box=20, seed=1996,
-                 pixel_means=None, buckets=blob.DEFAULT_BUCKETS,
-                 scale=600, max_size=1000, support_size=320):
+                 pixel_means=None, buckets=None,
+                 scale=None, max_size=None, support_size=320):
         from dana_tpu.utils.config import cfg
+        buckets = buckets or [tuple(b) for b in cfg.TPU.SIZE_BUCKETS]
+        scale = scale or (cfg.TRAIN.SCALES[0] if training
+                          else cfg.TEST.SCALES[0])
+        max_size = max_size or (cfg.TRAIN.MAX_SIZE if training
+                                else cfg.TEST.MAX_SIZE)
         self.roidb = roidb
         self.num_classes = num_classes
         self.training = training

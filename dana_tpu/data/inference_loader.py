@@ -88,9 +88,12 @@ class InferenceLoader:
     """One episode per query image against its fixed target class."""
 
     def __init__(self, roidb, pool: SupportPool, max_num_box=20,
-                 buckets=blob.DEFAULT_BUCKETS, scale=600, max_size=1000,
+                 buckets=None, scale=None, max_size=None,
                  pixel_means=None):
         from dana_tpu.utils.config import cfg
+        buckets = buckets or [tuple(b) for b in cfg.TPU.SIZE_BUCKETS]
+        scale = scale or cfg.TEST.SCALES[0]
+        max_size = max_size or cfg.TEST.MAX_SIZE
         self.roidb = roidb
         self.pool = pool
         self.max_num_box = max_num_box

@@ -74,14 +74,27 @@ class DanaConfig:
     bbox_normalize_means: tuple = (0.0, 0.0, 0.0, 0.0)
     bbox_normalize_stds: tuple = (0.1, 0.1, 0.2, 0.2)
     compute_dtype: Any = jnp.float32
+    # fused Pallas CISA attention core (auto-disabled off-TPU)
+    use_pallas_attention: bool = True
 
     @property
     def num_anchors(self):
         return len(self.anchor_scales) * len(self.anchor_ratios)
 
     @property
+    def feat_dim(self):
+        """Base-feature channels: 512 for VGG16, 1024 for ResNets."""
+        return 512 if self.arch == 'vgg16' else 1024
+
+    @property
+    def tail_dim(self):
+        """RoI-tail feature dim: fc7 4096 for VGG16, layer4 2048 else."""
+        return 4096 if self.arch == 'vgg16' else 2048
+
+    @property
     def rpn_din(self):
-        return 2048 if self.attention_type == 'concat' else 1024
+        return 2 * self.feat_dim if self.attention_type == 'concat' \
+            else self.feat_dim
 
 
 def positional_encoding(length: int, d_model: int = 1024) -> np.ndarray:
@@ -102,7 +115,7 @@ def init_params(config: DanaConfig, seed: int = 0,
     std 0.001, zero biases; FFN linears use torch Linear default
     kaiming-uniform — approximated with the same uniform bound)."""
     rng = np.random.default_rng(seed)
-    d = 1024
+    d = config.feat_dim
 
     def lin(cin, cout, std=0.01):
         return L.init_linear(rng, cin, cout, std=std)
@@ -112,9 +125,14 @@ def init_params(config: DanaConfig, seed: int = 0,
         return {'weight': rng.uniform(-bound, bound, (cin, cout)).astype(np.float32),
                 'bias': rng.uniform(-bound, bound, (cout,)).astype(np.float32)}
 
+    if backbone_params is None:
+        if config.arch == 'vgg16':
+            from dana_tpu.models import vgg
+            backbone_params = vgg.init_params(seed=seed)
+        else:
+            backbone_params = resnet.init_params(config.arch, seed=seed)
     p = {
-        'backbone': backbone_params if backbone_params is not None
-        else resnet.init_params(config.arch, seed=seed),
+        'backbone': backbone_params,
         'rpn_unary_layer': lin(d, 1),
         'rcnn_unary_layer': lin(d, 1),
         'rpn_adapt_q_layer': lin(d, config.rpn_reduce_dim),
@@ -125,32 +143,54 @@ def init_params(config: DanaConfig, seed: int = 0,
                                             config.num_anchors),
         'rcnn_transform_layer': torch_default_lin(config.rpn_din, 64),
         'output_score_layer': {
-            'linear1': torch_default_lin(64 * config.pooling_size ** 2, d),
-            'linear2': torch_default_lin(d, 2),
+            'linear1': torch_default_lin(64 * config.pooling_size ** 2,
+                                         1024),
+            'linear2': torch_default_lin(1024, 2),
         },
-        'RCNN_bbox_pred': lin(2048, 4, std=0.001),
+        'RCNN_bbox_pred': lin(config.tail_dim, 4, std=0.001),
     }
     if config.semantic_enhance:
         p['rpn_channel_k_layer'] = lin(d, 1)
     return p
 
 
+def backbone_base(params, config: DanaConfig, x):
+    """Stride-16 base features for any supported arch."""
+    if config.arch == 'vgg16':
+        from dana_tpu.models import vgg
+        return vgg.base_forward(x, params['backbone'])
+    return resnet.base_forward(x, params['backbone'], config.arch)
+
+
+def backbone_tail(params, config: DanaConfig, pooled_flat):
+    """RoI tail: [N, P, P, C] -> [N, tail_dim] (layer4+mean or fc6/fc7)."""
+    if config.arch == 'vgg16':
+        from dana_tpu.models import vgg
+        return vgg.tail_forward(pooled_flat, params['backbone'])
+    t = resnet.top_forward(pooled_flat, params['backbone'], config.arch)
+    return t.mean(axis=(1, 2))
+
+
 def _cisa_attention(q_tokens, s_tokens, params, prefix, reduce_dim,
-                    unary_gamma, se_params=None, gamma=0.1):
+                    unary_gamma, se_params=None, gamma=0.1,
+                    use_fused=True):
     """CISA block: query-conditioned support aggregation (dana.py:120-151).
 
     Args:
-      q_tokens: [..., Nq, 1024] query tokens (PE already applied if used).
-      s_tokens: [..., shot, Ns, 1024] support tokens (PE applied).
+      q_tokens: [..., Nq, C] query tokens (PE already applied if used).
+      s_tokens: [..., shot, Ns, C] support tokens (PE applied).
       prefix: 'rpn' | 'rcnn' selects the q/k/unary param names.
-    Returns [..., Nq, 1024]: attended support feature, mean over shots.
+    Returns [..., Nq, C]: attended support feature, mean over shots.
+
+    On TPU the softmax(qk^T)+unary @ v core runs as the fused Pallas
+    kernel (ops/cisa_attention.py); the projections stay XLA matmuls.
     """
     if se_params is not None:
         # BA block (semantic_enhance, dana.py:133-137): spatial softmax ->
         # global channel vector -> leaky_relu residual
         w = L.linear(s_tokens, se_params)                       # [...,shot,Ns,1]
         w = jax.nn.softmax(w, axis=-2)
-        glob = jnp.sum(w * s_tokens, axis=-2, keepdims=True)    # [...,shot,1,1024]
+        glob = jnp.sum(w * s_tokens, axis=-2, keepdims=True)    # [...,shot,1,C]
         s_tokens = s_tokens + gamma * L.leaky_relu(glob)
 
     q = L.linear(q_tokens, params[f'{prefix}_adapt_q_layer'])
@@ -158,12 +198,26 @@ def _cisa_attention(q_tokens, s_tokens, params, prefix, reduce_dim,
     k = L.linear(s_tokens, params[f'{prefix}_adapt_k_layer'])
     k = k - k.mean(axis=-2, keepdims=True)                      # center over Ns
 
-    # [..., shot, Nq, Ns]
-    attn = jnp.einsum('...qc,...skc->...sqk', q, k) / math.sqrt(reduce_dim)
-    attn = jax.nn.softmax(attn, axis=-1)
     unary = L.linear(s_tokens, params[f'{prefix}_unary_layer'])  # [...,shot,Ns,1]
-    unary = jax.nn.softmax(unary, axis=-2)
-    attn = attn + unary_gamma * unary[..., 0][..., None, :]  # [...,shot,1,Ns]
+    unary_sm = jax.nn.softmax(unary, axis=-2)[..., 0]            # [...,shot,Ns]
+    scale = 1.0 / math.sqrt(reduce_dim)
+
+    from dana_tpu.ops import cisa_attention as fused
+    if use_fused and fused.supports_pallas():
+        shot, ns, c = s_tokens.shape[-3:]
+        nq, d = q.shape[-2:]
+        lead = q.shape[:-2]
+        g = int(np.prod(lead)) * shot if lead else shot
+        qb = jnp.broadcast_to(q[..., None, :, :], (*lead, shot, nq, d))
+        out = fused.cisa_attention(
+            qb.reshape(g, nq, d), k.reshape(g, ns, d),
+            s_tokens.reshape(g, ns, c), unary_sm.reshape(g, 1, ns),
+            scale, unary_gamma)
+        return out.reshape(*lead, shot, nq, c).mean(axis=-3)
+
+    attn = jnp.einsum('...qc,...skc->...sqk', q, k) * scale
+    attn = jax.nn.softmax(attn, axis=-1)
+    attn = attn + unary_gamma * unary_sm[..., None, :]
     out = jnp.einsum('...sqk,...skc->...sqc', attn, s_tokens)
     return out.mean(axis=-3)                                    # mean over shots
 
@@ -185,11 +239,10 @@ def rcnn_head(params, config: DanaConfig, pooled_feat, support_pooled,
     Returns (bbox_pred [B,R,4], cls_prob [B,R,2], cls_score [B,R,2]).
     """
     b, r, ph, pw, c = pooled_feat.shape
-    # bbox branch: layer4 on pooled rois -> spatial mean -> Linear(2048, 4)
-    tail = resnet.top_forward(
-        pooled_feat.reshape(b * r, ph, pw, c), params['backbone'], config.arch)
-    fc7 = tail.mean(axis=(1, 2)).reshape(b, r, -1)
-    bbox_pred = L.linear(fc7, params['RCNN_bbox_pred'])
+    # bbox branch: tail (layer4+mean / fc6-fc7) -> Linear(tail_dim, 4)
+    fc7 = backbone_tail(params, config,
+                        pooled_feat.reshape(b * r, ph, pw, c))
+    bbox_pred = L.linear(fc7.reshape(b, r, -1), params['RCNN_bbox_pred'])
 
     q_tokens = pooled_feat.reshape(b, r, ph * pw, c)
     s_tokens = _support_tokens(support_pooled, pe_table)
@@ -201,7 +254,8 @@ def rcnn_head(params, config: DanaConfig, pooled_feat, support_pooled,
     s = s_tokens[:, None]                                      # [B,1,shot,49,c]
     s = jnp.broadcast_to(s, (b, r, *s.shape[2:]))
     dense = _cisa_attention(q, s, params, 'rcnn', config.rcnn_reduce_dim,
-                            config.unary_gamma)                # [B,R,49,1024]
+                            config.unary_gamma,
+                            use_fused=config.use_pallas_attention)
     if config.attention_type == 'concat':
         corr = jnp.concatenate([q, dense], axis=-1)
     else:
@@ -220,8 +274,11 @@ def extract_support_feats(params, config: DanaConfig, support_ims):
     support_ims: [B, n, 320, 320, 3] -> (tokens feat [B, n, 20, 20, 1024],
     pooled [B, n, 7, 7, 1024]) (dana.py:100-108: AvgPool2d(14, stride=1))."""
     b, n, sh, sw, _ = support_ims.shape
+    assert sh >= 224 and sw >= 224, (
+        f'support images must be >= 224px (got {sh}x{sw}): the fixed '
+        f'AvgPool2d(14) of dana.py:105 needs a >= 14x14 feature map')
     flat = support_ims.reshape(b * n, sh, sw, 3).astype(config.compute_dtype)
-    feats = resnet.base_forward(flat, params['backbone'], config.arch)
+    feats = backbone_base(params, config, flat)
     pooled = L.avg_pool(feats, window=14, stride=1)
     fh, fw, c = feats.shape[1:]
     return (feats.reshape(b, n, fh, fw, c),
@@ -240,7 +297,8 @@ def rpn_attention(params, config: DanaConfig, base_feat, support_feat,
     se = params.get('rpn_channel_k_layer') if config.semantic_enhance else None
     dense = _cisa_attention(q_tokens, s_tokens, params, 'rpn',
                             config.rpn_reduce_dim, config.unary_gamma,
-                            se, config.gamma)
+                            se, config.gamma,
+                            use_fused=config.use_pallas_attention)
     dense = dense.reshape(b, h, w, c)
     if config.attention_type == 'concat':
         return jnp.concatenate([base_feat, dense], axis=-1)
@@ -269,8 +327,7 @@ def forward(params, config: DanaConfig, im_data, im_info, support_ims,
     rois_label (plus neg-branch scores at train for the mined loss).
     """
     cdt = config.compute_dtype
-    base_feat = resnet.base_forward(im_data.astype(cdt), params['backbone'],
-                                    config.arch)
+    base_feat = backbone_base(params, config, im_data.astype(cdt))
     b, fh, fw, _ = base_feat.shape
 
     sup_feat, sup_pooled = extract_support_feats(params, config, support_ims)
@@ -279,8 +336,9 @@ def forward(params, config: DanaConfig, im_data, im_info, support_ims,
     if training:
         neg_pooled = sup_pooled[:, config.n_shot:config.n_way * config.n_shot]
 
-    rpn_pe = jnp.asarray(positional_encoding(20 * 20), cdt)
-    roi_pe = jnp.asarray(positional_encoding(config.pooling_size ** 2), cdt)
+    rpn_pe = jnp.asarray(positional_encoding(20 * 20, config.feat_dim), cdt)
+    roi_pe = jnp.asarray(
+        positional_encoding(config.pooling_size ** 2, config.feat_dim), cdt)
 
     corr = rpn_attention(params, config, base_feat, pos_feat, rpn_pe)
 

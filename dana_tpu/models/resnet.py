@@ -99,8 +99,16 @@ def top_forward(x, params, arch='resnet50'):
 # Init + torch checkpoint conversion
 # ----------------------------------------------------------------------------
 
-def init_params(arch='resnet50', seed=0):
-    """Random-init backbone params (He conv init, resnet.py:124-130)."""
+def init_params(arch='resnet50', seed=0, zero_init_residual=True):
+    """Random-init backbone params (He conv init, resnet.py:124-130).
+
+    zero_init_residual zeroes the last conv weight of every block
+    (SkipInit) so each residual branch starts as identity but stays
+    trainable.  The reference never trains from random init (it always
+    loads Caffe weights, dana.py:339-341) — with frozen identity BNs,
+    plain He init doubles activation variance per block and a ResNet-50
+    forward explodes by ~2^16; SkipInit keeps random-init forwards sane
+    (e.g. the synthetic-dataset CLI runs)."""
     kind, counts = ARCH_LAYERS[arch]
     rng = np.random.default_rng(seed)
     expansion = 4 if kind == 'bottleneck' else 1
@@ -128,6 +136,11 @@ def init_params(arch='resnet50', seed=0):
                     'conv2': L.init_conv(rng, 3, 3, planes, planes),
                     'bn2': L.init_bn(planes),
                 }
+            if zero_init_residual:
+                # zero the last *conv* (trainable), not the frozen BN gamma
+                last_conv = 'conv3' if kind == 'bottleneck' else 'conv2'
+                blk[last_conv]['weight'] = \
+                    np.zeros_like(blk[last_conv]['weight'])
             if s != 1 or inplanes != out:
                 blk['downsample'] = {
                     '0': L.init_conv(rng, 1, 1, inplanes, out),

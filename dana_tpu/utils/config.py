@@ -143,9 +143,11 @@ def _default_cfg() -> AttrDict:
     c.TPU = AttrDict()
     c.TPU.COMPUTE_DTYPE = 'bfloat16'   # matmul/conv compute dtype
     c.TPU.PARAM_DTYPE = 'float32'
-    # Query images are padded to (SCALES[0], MAX_SIZE)-style static buckets so
-    # each bucket compiles exactly once (replaces per-batch dynamic padding).
-    c.TPU.SIZE_BUCKETS = [(600, 600), (600, 800), (600, 1000), (800, 600), (1000, 600)]
+    # Query images are padded onto static (H, W) bucket canvases so each
+    # bucket compiles exactly once (replaces per-batch dynamic padding).
+    # Covers shortest-side-600 / max-1000 scaling (landscape, portrait,
+    # near-square).
+    c.TPU.SIZE_BUCKETS = [(608, 1024), (1024, 608), (704, 704)]
     # Cap on boxes entering fixed-shape NMS (memory/latency bound); the
     # reference's TRAIN.RPN_PRE_NMS_TOP_N=12000 is honored up to this cap.
     c.TPU.NMS_MAX_INPUT = 6000

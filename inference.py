@@ -1,0 +1,129 @@
+"""Episodic evaluation CLI.
+
+Parity: /root/reference/inference.py:25-181 — checkpoint load, per-image
+episodic eval against each image's fixed target class (only class
+j == target is scored, inference.py:131-139), score threshold 0.05 + NMS
+0.3 + top-100, pickled all_boxes, imdb.evaluate_detections -> COCOeval.
+
+TPU re-design: images grouped into static-bucket batches; decode + NMS
+run jitted on device (engine/postprocess.py); supports come from the
+data/supports directory pool when present, else from the training-split
+roidb (environment-local datasets).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+from utils import parse_args, load_cfg, get_model
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    cfg = load_cfg(args)
+    np.random.seed(args.seed)
+
+    import jax
+    import jax.numpy as jnp
+    from dana_tpu.data.imdb import combined_roidb
+    from dana_tpu.data.inference_loader import InferenceLoader, SupportPool
+    from dana_tpu.engine.postprocess import postprocess_batch
+    from dana_tpu.models import dana
+    from dana_tpu.models.layers import to_jnp
+    from dana_tpu.utils import checkpoint as ckpt_lib
+
+    imdb_, roidb, _, _ = combined_roidb(args.imdbval_name, training=False,
+                                        use_flipped=False)
+    num_images = len(roidb)
+    print(f'{num_images} eval images')
+
+    config, params = get_model('DAnA' if not args.eval_dir else 'DAnA',
+                               way=args.way, shot=args.shot, net=args.net,
+                               seed=args.seed)
+    if args.checkpath or args.resume:
+        path = args.checkpath or ckpt_lib.checkpoint_path(
+            args.load_dir, args.checkepoch, args.checkpoint)
+        payload = ckpt_lib.load_checkpoint(path)
+        params = payload['model']
+        cfg.POOLING_MODE = payload.get('pooling_mode', cfg.POOLING_MODE)
+        print(f'loaded checkpoint {path}')
+    params = to_jnp(params)
+
+    sup_dir = os.path.join(cfg.DATA_DIR, 'supports') \
+        if args.sup_dir == 'all' else args.sup_dir
+    support_roidb = None
+    if not os.path.isdir(sup_dir):
+        # environment-local fallback: crops from the train split
+        from dana_tpu.data.imdb import combined_roidb as crb
+        train_name = args.imdbval_name.replace('test', 'train') \
+            if 'synth' in args.imdbval_name else args.imdbval_name
+        _, support_roidb, _, _ = crb(train_name, training=False,
+                                     use_flipped=False)
+        sup_dir = None
+    pool = SupportPool(imdb_.classes, args.shot, support_dir=sup_dir,
+                       support_roidb=support_roidb, seed=0)
+    loader = InferenceLoader(roidb, pool,
+                             max_num_box=cfg.MAX_NUM_GT_BOXES)
+
+    @jax.jit
+    def predict(params, im_data, im_info, support_ims):
+        out = dana.forward(params, config, im_data, im_info, support_ims,
+                           training=False)
+        return postprocess_batch(
+            out['rois'], out['cls_prob'], out['bbox_pred'], im_info,
+            bbox_stds=tuple(cfg.TRAIN.BBOX_NORMALIZE_STDS),
+            bbox_means=tuple(cfg.TRAIN.BBOX_NORMALIZE_MEANS),
+            nms_thresh=cfg.TEST.NMS)
+
+    # group images by bucket for static batches
+    eval_bs = max(1, args.batch_size)
+    groups = {}
+    for i in range(num_images):
+        groups.setdefault(loader.bucket_of(i), []).append(i)
+
+    all_boxes = [[[] for _ in range(num_images)]
+                 for _ in range(imdb_.num_classes)]
+    t0 = time.time()
+    n_done = 0
+    for bucket, idxs in sorted(groups.items()):
+        for s in range(0, len(idxs), eval_bs):
+            chunk = idxs[s:s + eval_bs]
+            pad = eval_bs - len(chunk)
+            items = [loader[i] for i in chunk]
+            batch = {k: np.stack([it[k] for it in items] +
+                                 [items[-1][k]] * pad)
+                     for k in ('im_data', 'im_info', 'support_ims')}
+            dets, valid = predict(params, jnp.asarray(batch['im_data']),
+                                  jnp.asarray(batch['im_info']),
+                                  jnp.asarray(batch['support_ims']))
+            dets = np.asarray(dets)
+            valid = np.asarray(valid)
+            for bi, img_idx in enumerate(chunk):
+                cls = items[bi]['target_cls']
+                d = dets[bi][valid[bi]]
+                all_boxes[int(cls)][img_idx] = d
+            n_done += len(chunk)
+            if n_done % (20 * eval_bs) < eval_bs:
+                dt = time.time() - t0
+                print(f'{n_done}/{num_images} imgs, '
+                      f'{n_done / dt:.2f} img/s', flush=True)
+
+    out_dir = args.eval_dir or os.path.join(args.save_dir, 'eval')
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, 'detections.pkl'), 'wb') as f:
+        pickle.dump(all_boxes, f)
+    print(f'total detect time {time.time() - t0:.1f}s '
+          f'({num_images / (time.time() - t0):.2f} img/s)')
+    result = imdb_.evaluate_detections(all_boxes, out_dir)
+    return result
+
+
+if __name__ == '__main__':
+    main()

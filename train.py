@@ -1,0 +1,140 @@
+"""Episodic training CLI.
+
+Parity: /root/reference/train.py:24-190 — seeded setup, roidb + episodic
+loader, SGD with bias lr-doubling, epoch loop with step lr decay, loss
+logging every disp_interval, per-epoch checkpoints, --r resume restoring
+lr and POOLING_MODE from the checkpoint (train.py:92-102).
+
+TPU re-design: one jitted data-parallel train step over a `data` mesh
+(replaces nn.DataParallel, train.py:104-105), static-bucket episodic
+batches, background host prefetch.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+from utils import parse_args, load_cfg, get_model
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    cfg = load_cfg(args)
+    np.random.seed(args.seed)
+
+    import jax
+    import jax.numpy as jnp
+    from dana_tpu.data.imdb import combined_roidb
+    from dana_tpu.data.fs_loader import (FewShotLoader, EpisodicBatcher,
+                                         prefetch_to_device)
+    from dana_tpu.engine import optim, train as train_engine
+    from dana_tpu.models.layers import to_jnp
+    from dana_tpu.utils import checkpoint as ckpt_lib
+
+    imdb_, roidb, _, _ = combined_roidb(args.imdb_name,
+                                        use_flipped=args.use_flip)
+    print(f'{len(roidb)} roidb entries')
+
+    loader = FewShotLoader(roidb, imdb_.num_classes, num_way=args.way,
+                           num_shot=args.shot,
+                           max_num_box=cfg.MAX_NUM_GT_BOXES,
+                           seed=args.seed)
+    batcher = EpisodicBatcher(loader, args.batch_size, shuffle=True,
+                              seed=args.seed)
+
+    config, params = get_model('DAnA', way=args.way, shot=args.shot,
+                               net=args.net, seed=args.seed)
+    params = to_jnp(params)
+    lr = args.lr
+
+    start_epoch = args.start_epoch
+    if args.resume:
+        path = args.checkpath or ckpt_lib.checkpoint_path(
+            args.load_dir, args.checkepoch, args.checkpoint)
+        if not os.path.exists(path) and path.endswith('.dkpt'):
+            path = path[:-5] + '.pth'
+        payload = ckpt_lib.load_checkpoint(path)
+        params = to_jnp(payload['model'])
+        lr = payload.get('lr') or lr
+        start_epoch = payload.get('epoch', 0) + 1
+        cfg.POOLING_MODE = payload.get('pooling_mode', cfg.POOLING_MODE)
+        print(f'resumed from {path} (epoch {payload.get("epoch")})')
+
+    trainable = optim.trainable_mask(params,
+                                     fixed_blocks=cfg.RESNET.FIXED_BLOCKS)
+    step_fn = train_engine.make_train_step(
+        config, trainable, momentum=cfg.TRAIN.MOMENTUM,
+        weight_decay=cfg.TRAIN.WEIGHT_DECAY,
+        double_bias=cfg.TRAIN.DOUBLE_BIAS,
+        clip_norm=10.0 if args.net == 'vgg16' else 0.0)
+    state = train_engine.create_train_state(params, lr)
+
+    mesh = None
+    if args.mGPUs and len(jax.devices()) > 1:
+        mesh = train_engine.make_mesh()
+        state = train_engine.replicate(state, mesh)
+        print(f'data-parallel over {len(jax.devices())} devices')
+
+    writer = None
+    if not args.dlog:
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+            writer = SummaryWriter(os.path.join(args.save_dir, 'tb'))
+        except Exception:
+            pass
+
+    rng = jax.random.PRNGKey(args.seed)
+    global_step = 0
+    for epoch in range(start_epoch, args.max_epochs + 1):
+        # step lr decay (reference train.py:118-120)
+        if epoch > 1 and (epoch - 1) % args.lr_decay_step == 0:
+            lr *= args.lr_decay_gamma
+            state = state._replace(opt=state.opt._replace(
+                lr=jnp.asarray(lr, jnp.float32)))
+            print(f'lr decayed to {lr}')
+
+        t0 = time.time()
+        loss_acc = {}
+        it = iter(batcher)
+        if mesh is not None:
+            it = (train_engine.shard_batch(b, mesh) for b in it)
+        it = prefetch_to_device(it)
+        steps = 0
+        for batch in it:
+            keys = ('im_data', 'im_info', 'gt_boxes', 'support_ims')
+            batch = {k: batch[k] for k in keys}
+            state, metrics = step_fn(state, batch, rng)
+            steps += 1
+            global_step += 1
+            for k, v in metrics.items():
+                loss_acc[k] = loss_acc.get(k, 0.0) + float(v)
+            if steps % args.disp_interval == 0:
+                dt = time.time() - t0
+                msg = ', '.join(f'{k}: {loss_acc[k] / steps:.4f}'
+                                for k in sorted(loss_acc) if 'loss' in k)
+                print(f'[epoch {epoch:2d}][iter {steps:4d}] '
+                      f'lr: {lr:.2e}, time/iter: {dt / steps:.3f}s, {msg}',
+                      flush=True)
+        if steps == 0:
+            print('no batches; check dataset')
+            break
+        if writer is not None:
+            for k in loss_acc:
+                writer.add_scalar(k, loss_acc[k] / steps, epoch)
+        path = ckpt_lib.checkpoint_path(args.save_dir, epoch, steps - 1)
+        host_state = jax.device_get(state)
+        ckpt_lib.save_checkpoint(
+            path, host_state.params, host_state.opt, epoch=epoch,
+            step=steps - 1, lr=lr, pooling_mode=cfg.POOLING_MODE)
+        print(f'[epoch {epoch:2d}] saved {path} '
+              f'({time.time() - t0:.1f}s, {steps} iters)')
+
+
+if __name__ == '__main__':
+    main()
