@@ -41,15 +41,19 @@ def main():
         out = dana.forward(params, config, im, info, sup, training=False)
         return out['rois'], out['cls_prob'], out['bbox_pred']
 
-    # warmup / compile
+    import numpy as np
+
+    # warmup / compile; device_get forces real execution through any
+    # async dispatch layer (the axon tunnel acks scheduling early)
     out = predict(params, im, info, sup)
-    jax.block_until_ready(out)
+    np.asarray(out[0])
 
     iters = int(os.environ.get('BENCH_ITERS', '10'))
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = predict(params, im, info, sup)
-    jax.block_until_ready(out)
+    for i in range(iters):
+        # vary an input so no layer can serve a cached result
+        out = predict(params, im + jnp.float32(i), info, sup)
+    np.asarray(jax.device_get(out[0]))
     dt = time.perf_counter() - t0
 
     imgs_per_sec = batch * iters / dt

@@ -88,6 +88,23 @@ def _register_all():
                   'hard', 'ycbv_train', 'ycbv_debug']:
         _register(f'ycb2d_{split}', lambda s=split: ycb2d(s))
 
+    # visual genome / imagenet (vg.py, imagenet.py — unused by any FSOD
+    # flow, SURVEY §2.5).  Ingestion is canonicalized on COCO-format
+    # annotations: point DATA_DIR/{vg,imagenet}/annotations/<split>.json
+    # at a converted file (the reference's raw scene-graph/XML loaders
+    # were dataset-prep scripts, not part of the training path).
+    def generic(root, split):
+        from dana_tpu.utils.config import cfg
+        d = osp.join(cfg.DATA_DIR, root)
+        return CocoFormatDataset(
+            f'{root}_{split}', osp.join(d, 'annotations', f'{split}.json'),
+            osp.join(d, 'images'))
+    for split in ['train', 'val', 'minival', 'minitrain', 'smalltrain',
+                  'smallval']:
+        _register(f'vg_150-50-50_{split}', lambda s=split: generic('vg', s))
+    for split in ['train', 'val', 'trainval1', 'trainval2', 'test']:
+        _register(f'imagenet_{split}', lambda s=split: generic('imagenet', s))
+
     # pascal voc (pascal_voc.py)
     def voc(year, split):
         from dana_tpu.data.pascal_voc import pascal_voc

@@ -164,6 +164,39 @@ class FewShotLoader:
         }
 
 
+class FinetuneLoader(FewShotLoader):
+    """Training-style loader whose supports come from the directory pool
+    `<support_dir>/<class_name>/*.jpg` instead of the crop DB
+    (/root/reference/lib/roi_data_layer/finetune_loader.py:99-149);
+    always 2-way (positive + one absent-class negative)."""
+
+    def __init__(self, roidb, num_classes, class_names, support_dir,
+                 **kw):
+        super().__init__(roidb, num_classes, **kw)
+        import glob
+        import os.path as osp
+        self.support_files = {}
+        for cls_ind, name in enumerate(class_names):
+            if name == '__background__':
+                continue
+            files = sorted(glob.glob(osp.join(support_dir, name, '*')))
+            if files:
+                self.support_files[cls_ind] = files
+
+    def _sample_supports(self, cls, rng, replace_ok=True):
+        files = self.support_files[cls]
+        idx = rng.choice(len(files), self.num_shot,
+                         replace=len(files) < self.num_shot)
+        out = []
+        for i in idx:
+            im = blob.imread_bgr(files[int(i)])
+            h, w = im.shape[:2]
+            out.append(blob.support_blob(im, [0, 0, w - 1, h - 1],
+                                         self.pixel_means,
+                                         self.support_size))
+        return out
+
+
 class EpisodicBatcher:
     """Groups same-bucket episodes into batches (replaces the reference's
     ratio-grouped `sampler`, fs_loader.py:332-354) with optional

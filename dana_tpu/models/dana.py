@@ -76,6 +76,9 @@ class DanaConfig:
     compute_dtype: Any = jnp.float32
     # fused Pallas CISA attention core (auto-disabled off-TPU)
     use_pallas_attention: bool = True
+    # rematerialize backbone activations in the backward pass (trade
+    # FLOPs for HBM; enables larger episodic batches per chip)
+    remat_backbone: bool = False
 
     @property
     def num_anchors(self):
@@ -156,10 +159,14 @@ def init_params(config: DanaConfig, seed: int = 0,
 
 def backbone_base(params, config: DanaConfig, x):
     """Stride-16 base features for any supported arch."""
-    if config.arch == 'vgg16':
-        from dana_tpu.models import vgg
-        return vgg.base_forward(x, params['backbone'])
-    return resnet.base_forward(x, params['backbone'], config.arch)
+    def run(p, xx):
+        if config.arch == 'vgg16':
+            from dana_tpu.models import vgg
+            return vgg.base_forward(xx, p['backbone'])
+        return resnet.base_forward(xx, p['backbone'], config.arch)
+    if config.remat_backbone:
+        run = jax.checkpoint(run)
+    return run(params, x)
 
 
 def backbone_tail(params, config: DanaConfig, pooled_flat):
@@ -308,6 +315,10 @@ def rpn_attention(params, config: DanaConfig, base_feat, support_feat,
 def _pool_rois(config: DanaConfig, base_feat, rois):
     if config.pooling_mode == 'align':
         return roi_align(base_feat, rois, config.pooling_size, 1.0 / 16.0, 0)
+    if config.pooling_mode == 'crop':
+        from dana_tpu.ops.grid_sample import roi_crop_pool
+        return roi_crop_pool(base_feat, rois, config.pooling_size,
+                             1.0 / 16.0)
     return roi_pool(base_feat, rois, config.pooling_size, 1.0 / 16.0)
 
 

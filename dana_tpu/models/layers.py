@@ -32,11 +32,14 @@ def conv2d(x, params, stride=1, padding='SAME', dilation=1):
         padding = ((padding, padding), (padding, padding))
     if isinstance(dilation, int):
         dilation = (dilation, dilation)
+    # mixed precision: params are f32 masters; compute in the activation
+    # dtype (bf16 on the MXU when cfg.TPU.COMPUTE_DTYPE asks for it)
+    w = params['weight'].astype(x.dtype)
     y = jax.lax.conv_general_dilated(
-        x, params['weight'], window_strides=stride, padding=padding,
+        x, w, window_strides=stride, padding=padding,
         rhs_dilation=dilation, dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
     if 'bias' in params:
-        y = y + params['bias']
+        y = y + params['bias'].astype(y.dtype)
     return y
 
 
@@ -57,14 +60,14 @@ def frozen_batchnorm(x, params, eps=1e-5):
     inv = jax.lax.rsqrt(params['running_var'] + eps)
     scale = params['weight'] * inv
     offset = params['bias'] - params['running_mean'] * scale
-    return x * scale + offset
+    return x * scale.astype(x.dtype) + offset.astype(x.dtype)
 
 
 def linear(x, params):
     """x [..., in] @ weight [in, out] + bias."""
-    y = x @ params['weight']
+    y = x @ params['weight'].astype(x.dtype)
     if 'bias' in params:
-        y = y + params['bias']
+        y = y + params['bias'].astype(y.dtype)
     return y
 
 

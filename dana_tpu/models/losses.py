@@ -93,3 +93,13 @@ def _desc_rank(x):
     """Rank (0 = largest) of each element along the last axis."""
     order = jnp.argsort(-x, axis=-1)
     return jnp.argsort(order, axis=-1)
+
+
+def triplet_loss(anchor, positive, negative, margin=1.0, p=2):
+    """Margin triplet loss.  The reference ships a syntactically-broken
+    TripletLoss (lib/model/utils/losses.py:13, dead code); this is the
+    working equivalent of what it attempts (torch TripletMarginLoss)."""
+    def dist(a, b):
+        return jnp.sum(jnp.abs(a - b) ** p, axis=-1) ** (1.0 / p)
+    return jnp.maximum(dist(anchor, positive) - dist(anchor, negative)
+                       + margin, 0.0).mean()

@@ -173,14 +173,12 @@ def get_model(name, pretrained=True, use_BA_block=True, way=2, shot=3,
 
 def NMS(boxes, scores):
     """Class-agnostic host NMS helper (reference utils.py:312-317,
-    TEST.NMS threshold)."""
-    import jax.numpy as jnp
-    from dana_tpu.ops.nms import nms_fixed
+    TEST.NMS threshold).  Uses the native C++ host kernel
+    (dana_tpu/native) — host arrays are small, a device round-trip
+    costs more than the compute."""
+    from dana_tpu import native
     from dana_tpu.utils.config import cfg
-    n = boxes.shape[0]
-    idx, mask = nms_fixed(jnp.asarray(boxes), jnp.asarray(scores),
-                          cfg.TEST.NMS, n)
-    return np.asarray(idx)[np.asarray(mask)]
+    return native.nms(np.asarray(boxes), np.asarray(scores), cfg.TEST.NMS)
 
 
 def support_im_preprocess(im, cfg, support_size=320, n_of_shot=1):
@@ -199,6 +197,62 @@ def query_im_preprocess(im, cfg):
                                        cfg.TRAIN.SCALES[0],
                                        cfg.TRAIN.MAX_SIZE)
     return im_data, im_info
+
+
+def generate_pseudo_label(output_dir, sp_dir, q_im_path, config, params,
+                          num_shot):
+    """Multi-shot detection union + NMS pseudo-labels
+    (reference utils.py:182-204).  Support shots live at
+    <sp_dir>/shot_<i>.jpg; returns the final [N, 5] detections."""
+    from PIL import Image
+    os.makedirs(output_dir, exist_ok=True)
+    q_im = np.asarray(Image.open(q_im_path))[:, :, :3][:, :, ::-1]  # ->BGR
+    dets = []
+    for i in range(num_shot):
+        sp = np.asarray(Image.open(
+            os.path.join(sp_dir, f'shot_{i + 1}.jpg')))[:, :, :3][:, :, ::-1]
+        dets.append(run_detection(sp, q_im, config, params))
+    dets = np.concatenate(dets, axis=0)
+    if num_shot > 1 and len(dets):
+        order = np.argsort(-dets[:, 4])
+        dets = dets[order]
+        keep = NMS(dets[:, :4], dets[:, 4])
+        dets = dets[keep]
+    return dets
+
+
+def create_annotation(nd_dir, cls_names, cls_im_inds, dump_path,
+                      class_ids=None, im_hw=(256, 256)):
+    """COCO-format annotation writer from per-image .npy box dumps
+    (reference utils.py:130-179, generalized: class ids come from
+    `class_ids` instead of the reference's hardcoded ycb map)."""
+    import json
+    class_ids = class_ids or {n: i + 1 for i, n in enumerate(cls_names)}
+    categories = [{'supercategory': 'None', 'id': class_ids[n], 'name': n}
+                  for n in cls_names]
+    images, annotations = [], []
+    for cls, inds in zip(cls_names, cls_im_inds):
+        for ind in inds:
+            images.append({'license': 1,
+                           'file_name': str(ind).zfill(6) + '.jpg',
+                           'height': im_hw[0], 'width': im_hw[1],
+                           'id': int(ind)})
+            boxes = np.load(os.path.join(nd_dir, str(ind).zfill(6) + '.npy'),
+                            allow_pickle=True)
+            for j, box in enumerate(np.asarray(boxes)):
+                annotations.append({
+                    'segmentation': [], 'area': float(
+                        (box[2] - box[0]) * (box[3] - box[1])),
+                    'iscrowd': 0, 'image_id': int(ind),
+                    'bbox': [int(box[0]), int(box[1]),
+                             int(box[2]) - int(box[0]),
+                             int(box[3]) - int(box[1])],
+                    'category_id': class_ids[cls],
+                    'id': int(str(ind) + str(j))})
+    with open(dump_path, 'w') as f:
+        json.dump({'info': {}, 'licenses': [], 'images': images,
+                   'annotations': annotations,
+                   'categories': categories}, f)
 
 
 def run_detection(support_im, query_im, config, params, thresh=0.5):
