@@ -32,10 +32,32 @@ def create_train_state(params, lr: float) -> TrainState:
     return TrainState(params=params, opt=opt, step=jnp.asarray(0, jnp.int32))
 
 
-def loss_fn(params, config: dana.DanaConfig, batch, rng):
-    out = dana.forward(params, config, batch['im_data'], batch['im_info'],
-                       batch['support_ims'], training=True,
-                       gt_boxes=batch['gt_boxes'], rng=rng)
+def loss_fn(params, config: dana.DanaConfig, batch, rng, model='DAnA'):
+    """Episodic loss for any framework (train.py:137: total = sum of the
+    four heads' losses)."""
+    if model in ('DAnA', 'cisa'):
+        out = dana.forward(params, config, batch['im_data'],
+                           batch['im_info'], batch['support_ims'],
+                           training=True, gt_boxes=batch['gt_boxes'],
+                           rng=rng)
+    elif model == 'frcnn':
+        from dana_tpu.models import frameworks
+        out = frameworks.frcnn_forward(
+            params, config, batch['im_data'], batch['im_info'],
+            training=True, gt_boxes=batch['gt_boxes'], rng=rng)
+    elif model == 'meta':
+        from dana_tpu.models import frameworks
+        out = frameworks.meta_forward(
+            params, config, batch['im_data'], batch['im_info'],
+            batch['support_ims'], training=True,
+            gt_boxes=batch['gt_boxes'],
+            all_cls_gt_boxes=batch.get('all_gt_boxes'), rng=rng)
+    else:
+        from dana_tpu.models import frameworks
+        out = frameworks.forward_fn(model)(
+            params, config, batch['im_data'], batch['im_info'],
+            batch['support_ims'], training=True,
+            gt_boxes=batch['gt_boxes'], rng=rng)
     losses = {k: out[k] for k in
               ('rpn_loss_cls', 'rpn_loss_box', 'rcnn_loss_cls',
                'rcnn_loss_bbox')}
@@ -47,21 +69,38 @@ def loss_fn(params, config: dana.DanaConfig, batch, rng):
 
 
 def make_train_step(config: dana.DanaConfig, trainable=None, *, momentum=0.9,
-                    weight_decay=0.0005, double_bias=True, clip_norm=0.0):
+                    weight_decay=0.0005, double_bias=True, clip_norm=0.0,
+                    skip_nonfinite=True, model='DAnA'):
     """Build the jitted train step.  `trainable` is a Python-bool tree
-    (trace-time constant: frozen leaves never enter the autodiff update)."""
+    (trace-time constant: frozen leaves never enter the autodiff update).
+
+    skip_nonfinite: a step whose loss or grads are non-finite applies no
+    update (params/velocity unchanged) and reports metrics['skipped']=1 —
+    lightweight failure containment the reference lacks (a NaN batch
+    there poisons the run silently)."""
 
     @jax.jit
     def step(state: TrainState, batch, rng):
         key = jax.random.fold_in(rng, state.step)
-        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, config, batch, key)
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, config, batch, key, model)
         if clip_norm:
             grads = optim.clip_gradients(grads, clip_norm)
         new_params, new_opt = optim.sgd_update(
             state.params, grads, state.opt, momentum=momentum,
             weight_decay=weight_decay, double_bias=double_bias,
             trainable=trainable)
+        if skip_nonfinite:
+            finite = jnp.isfinite(loss)
+            for g in jax.tree.leaves(grads):
+                finite &= jnp.all(jnp.isfinite(g))
+            new_params = jax.tree.map(
+                lambda n, o: jnp.where(finite, n, o), new_params,
+                state.params)
+            new_opt = new_opt._replace(velocity=jax.tree.map(
+                lambda n, o: jnp.where(finite, n, o), new_opt.velocity,
+                state.opt.velocity))
+            metrics['skipped'] = 1.0 - finite.astype(jnp.float32)
         return TrainState(params=new_params, opt=new_opt,
                           step=state.step + 1), metrics
 

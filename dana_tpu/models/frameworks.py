@@ -37,12 +37,14 @@ def _torch_default_lin(rng, cin, cout):
 
 
 def trunk(params, config: DanaConfig, base_feat, corr_feat, im_info,
-          gt_boxes, training, rng):
+          gt_boxes, training, rng, rpn_gt_boxes=None):
     """RPN + targets + pooled rois — the shared middle of every framework
     forward (dana.py:158-190 and identical blocks in the siblings).
 
-    Returns dict with rois, pooled [B,R,7,7,C], and at train time the
-    rpn losses + roi targets/labels."""
+    rpn_gt_boxes: optional separate gt for the RPN targets (Meta R-CNN
+    trains its RPN on the all-class gt, meta.py:65, while roi sampling
+    uses the episode gt).  Returns dict with rois, pooled [B,R,7,7,C],
+    and at train time the rpn losses + roi targets/labels."""
     b, fh, fw, _ = corr_feat.shape
     logits, probs_fg, deltas = rpn_lib.rpn_forward(
         corr_feat, params['RCNN_rpn'], config.num_anchors)
@@ -61,8 +63,9 @@ def trunk(params, config: DanaConfig, base_feat, corr_feat, im_info,
     out = {'roi_mask': roi_mask}
     if training:
         k_anchor, k_roi = jax.random.split(rng)
+        rpn_gt = rpn_gt_boxes if rpn_gt_boxes is not None else gt_boxes
         labels, at_targets, at_in_w, at_out_w = rpn_lib.anchor_target(
-            anchors, gt_boxes, im_info, k_anchor,
+            anchors, rpn_gt, im_info, k_anchor,
             batch_rois=config.rpn_batchsize,
             fg_fraction=config.rpn_fg_fraction,
             pos_overlap=config.rpn_pos_overlap,
@@ -262,14 +265,8 @@ def meta_forward(params, config: DanaConfig, im_data, im_info, support_ims,
     neg_vec = vecs[:, config.n_shot:config.n_way * config.n_shot].mean(axis=1) \
         if training else None
 
-    rpn_gt = all_cls_gt_boxes if all_cls_gt_boxes is not None else gt_boxes
-    out = trunk(params, config, base_feat, base_feat, im_info, rpn_gt,
-                training, rng)
-    if training and all_cls_gt_boxes is not None:
-        # roi sampling labels must come from the episode gt, re-derive:
-        # (the trunk used all-class gt only for RPN losses; proposal_target
-        # in the reference uses the episode gt_boxes, meta.py:70)
-        pass
+    out = trunk(params, config, base_feat, base_feat, im_info, gt_boxes,
+                training, rng, rpn_gt_boxes=all_cls_gt_boxes)
 
     tail = _head_to_tail(params, config, out['pooled'])  # [B, R, 2048]
 

@@ -32,7 +32,7 @@ import numpy as np
 from dana_tpu.core.boxes import (clip_boxes, decode_boxes, encode_boxes,
                                  iou_matrix_masked)
 from dana_tpu.models import layers as L
-from dana_tpu.ops.nms import nms_fixed
+from dana_tpu.ops.nms import nms_fixed_tiled
 
 
 def init_rpn_params(rng: np.random.Generator, din: int, num_anchors: int):
@@ -89,7 +89,8 @@ def proposal_layer(probs_fg, deltas, anchors, im_info, *, pre_nms_top_n,
     def per_image(props, scores):
         top_scores, order = jax.lax.top_k(scores, k)
         boxes = props[order]
-        idx, mask = nms_fixed(boxes, top_scores, nms_thresh, post_nms_top_n)
+        idx, mask = nms_fixed_tiled(boxes, top_scores, nms_thresh,
+                                    post_nms_top_n)
         out = jnp.where(mask[:, None], boxes[idx], 0.0)
         sc = jnp.where(mask, top_scores[idx], 0.0)
         return out, sc, mask

@@ -102,3 +102,91 @@ def batched_nms_fixed(boxes, scores, iou_threshold, max_output: int, valid=None)
     if valid is None:
         valid = jnp.ones(scores.shape, bool)
     return jax.vmap(fn)(boxes, scores, valid)
+
+
+@functools.partial(jax.jit, static_argnames=('max_output', 'tile'))
+def nms_fixed_tiled(boxes, scores, iou_threshold, max_output: int,
+                    valid=None, tile: int = 512):
+    """Tiled greedy NMS — same result as nms_fixed, built for speed.
+
+    nms_fixed materializes the [N, N] suppression matrix (at the 6000-box
+    TEST cap that is 144 MB of HBM traffic *per fixpoint iteration* — it
+    measured as 80% of DAnA inference time on a v5e).  This version scans
+    score-sorted boxes in tiles: each tile is suppressed against the
+    boxes already kept (IoU [tile, max_output]) and within itself
+    (triangular fixpoint on [tile, tile]), then appended to the kept
+    buffer; the scan exits early once max_output boxes are kept.
+    O(N*(tile+max_output)) compute, O(tile^2) memory.
+    """
+    n = boxes.shape[0]
+    neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
+    s = scores if valid is None else jnp.where(valid, scores, neg_inf)
+    order = jnp.argsort(-s)
+    sboxes = boxes[order]
+    svalid = jnp.isfinite(s[order]) if valid is not None \
+        else jnp.ones((n,), bool)
+
+    pad = (-n) % tile
+    if pad:
+        sboxes = jnp.concatenate(
+            [sboxes, jnp.zeros((pad, 4), boxes.dtype)])
+        svalid = jnp.concatenate([svalid, jnp.zeros((pad,), bool)])
+        order = jnp.concatenate(
+            [order, jnp.zeros((pad,), order.dtype)])
+    num_tiles = (n + pad) // tile
+
+    tri = jnp.tril(jnp.ones((tile, tile), jnp.float32), k=-1)
+
+    def body(state):
+        t, kept_boxes, kept_valid, kept_idx, count = state
+        lo = t * tile
+        tb = jax.lax.dynamic_slice(sboxes, (lo, 0), (tile, 4))
+        tv = jax.lax.dynamic_slice(svalid, (lo,), (tile,))
+        tidx = jax.lax.dynamic_slice(order, (lo,), (tile,))
+
+        # suppression by already-kept boxes
+        iou_k = iou_matrix(tb, kept_boxes)                 # [tile, M]
+        sup0 = ((iou_k > iou_threshold) & kept_valid[None, :]).any(axis=1)
+
+        # within-tile fixpoint: keep <- live & ~(M @ keep > 0)
+        iou_t = iou_matrix(tb, tb)
+        mask = jnp.where(iou_t > iou_threshold, tri, 0.0)
+        live = tv & ~sup0
+
+        def cond(c):
+            k, prev, it = c
+            return jnp.logical_and(jnp.any(k != prev), it < tile)
+
+        def step(c):
+            k, _, it = c
+            supp = mask @ k.astype(jnp.float32) > 0.0
+            return live & ~supp, k, it + 1
+
+        k0 = live
+        k1 = step((k0, jnp.zeros_like(k0), 0))[0]
+        keep_t, _, _ = jax.lax.while_loop(cond, step,
+                                          (k1, k0, jnp.int32(1)))
+
+        rank = jnp.cumsum(keep_t.astype(jnp.int32)) - 1
+        slot = jnp.where(keep_t, count + rank, max_output)
+        slot = jnp.minimum(slot, max_output)               # overflow -> drop
+        kept_boxes = kept_boxes.at[slot].set(tb, mode='drop')
+        kept_valid = kept_valid.at[slot].set(keep_t, mode='drop')
+        kept_idx = kept_idx.at[slot].set(tidx.astype(jnp.int32),
+                                         mode='drop')
+        count = jnp.minimum(count + keep_t.sum(), max_output)
+        return t + 1, kept_boxes, kept_valid, kept_idx, count
+
+    def cond(state):
+        t, _, _, _, count = state
+        return jnp.logical_and(t < num_tiles, count < max_output)
+
+    init = (jnp.int32(0),
+            jnp.zeros((max_output, 4), boxes.dtype),
+            jnp.zeros((max_output,), bool),
+            jnp.zeros((max_output,), jnp.int32),
+            jnp.int32(0))
+    _, _, kept_valid, kept_idx, count = jax.lax.while_loop(cond, body, init)
+    out_mask = jnp.arange(max_output) < count
+    out_idx = jnp.where(out_mask, kept_idx, 0)
+    return out_idx, out_mask

@@ -44,9 +44,8 @@ def main(argv=None):
     num_images = len(roidb)
     print(f'{num_images} eval images')
 
-    config, params = get_model('DAnA' if not args.eval_dir else 'DAnA',
-                               way=args.way, shot=args.shot, net=args.net,
-                               seed=args.seed)
+    config, params = get_model(args.net, way=args.way, shot=args.shot,
+                               net=args.backbone, seed=args.seed)
     if args.checkpath or args.resume:
         path = args.checkpath or ckpt_lib.checkpoint_path(
             args.load_dir, args.checkepoch, args.checkpoint)
@@ -72,10 +71,23 @@ def main(argv=None):
     loader = InferenceLoader(roidb, pool,
                              max_num_box=cfg.MAX_NUM_GT_BOXES)
 
+    from dana_tpu.models import frameworks
+    model_name = 'DAnA' if args.net in ('res50', 'res101', 'vgg16') \
+        else args.net
+
+    def forward(params, im_data, im_info, support_ims):
+        if model_name in ('DAnA', 'cisa'):
+            return dana.forward(params, config, im_data, im_info,
+                                support_ims, training=False)
+        if model_name == 'frcnn':
+            return frameworks.frcnn_forward(params, config, im_data,
+                                            im_info, training=False)
+        return frameworks.forward_fn(model_name)(
+            params, config, im_data, im_info, support_ims, training=False)
+
     @jax.jit
     def predict(params, im_data, im_info, support_ims):
-        out = dana.forward(params, config, im_data, im_info, support_ims,
-                           training=False)
+        out = forward(params, im_data, im_info, support_ims)
         return postprocess_batch(
             out['rois'], out['cls_prob'], out['bbox_pred'], im_info,
             bbox_stds=tuple(cfg.TRAIN.BBOX_NORMALIZE_STDS),

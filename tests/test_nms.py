@@ -1,7 +1,7 @@
 import numpy as np
 import jax.numpy as jnp
 
-from dana_tpu.ops.nms import nms_fixed, batched_nms_fixed
+from dana_tpu.ops.nms import batched_nms_fixed, nms_fixed, nms_fixed_tiled
 
 
 def greedy_nms_py(boxes, scores, thresh):
@@ -83,6 +83,31 @@ def test_nms_identical_boxes():
     idx, mask = nms_fixed(jnp.asarray(boxes), jnp.asarray(scores), 0.5, 8)
     got = np.asarray(idx)[np.asarray(mask)]
     np.testing.assert_array_equal(got, [7])  # only the top-scored survives
+
+
+def test_tiled_nms_matches_reference():
+    rng = np.random.RandomState(4)
+    for n, tile, k in [(200, 64, 200), (500, 128, 60), (130, 64, 20)]:
+        boxes = _rand_boxes(rng, n)
+        scores = rng.rand(n).astype(np.float32)
+        ref = greedy_nms_py(boxes, scores, 0.5)[:k]
+        idx, mask = nms_fixed_tiled(jnp.asarray(boxes), jnp.asarray(scores),
+                                    0.5, k, tile=tile)
+        got = np.asarray(idx)[np.asarray(mask)]
+        np.testing.assert_array_equal(got, ref)
+
+
+def test_tiled_nms_valid_mask_and_early_exit():
+    rng = np.random.RandomState(5)
+    boxes = _rand_boxes(rng, 300)
+    scores = rng.rand(300).astype(np.float32)
+    valid = rng.rand(300) > 0.3
+    ref = greedy_nms_py(boxes[valid], scores[valid], 0.6)
+    ref_idx = np.where(valid)[0][ref][:16]
+    idx, mask = nms_fixed_tiled(jnp.asarray(boxes), jnp.asarray(scores),
+                                0.6, 16, jnp.asarray(valid), tile=64)
+    got = np.asarray(idx)[np.asarray(mask)]
+    np.testing.assert_array_equal(got, ref_idx)
 
 
 def test_batched_nms_shapes():

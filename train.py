@@ -48,8 +48,8 @@ def main(argv=None):
     batcher = EpisodicBatcher(loader, args.batch_size, shuffle=True,
                               seed=args.seed)
 
-    config, params = get_model('DAnA', way=args.way, shot=args.shot,
-                               net=args.net, seed=args.seed)
+    config, params = get_model(args.net, way=args.way, shot=args.shot,
+                               net=args.backbone, seed=args.seed)
     params = to_jnp(params)
     lr = args.lr
 
@@ -72,7 +72,10 @@ def main(argv=None):
         config, trainable, momentum=cfg.TRAIN.MOMENTUM,
         weight_decay=cfg.TRAIN.WEIGHT_DECAY,
         double_bias=cfg.TRAIN.DOUBLE_BIAS,
-        clip_norm=10.0 if args.net == 'vgg16' else 0.0)
+        clip_norm=args.clip_norm
+        or (10.0 if args.backbone == 'vgg16' else 0.0),
+        model='DAnA' if args.net in ('res50', 'res101', 'vgg16')
+        else args.net)
     state = train_engine.create_train_state(params, lr)
 
     mesh = None
@@ -107,9 +110,16 @@ def main(argv=None):
         it = prefetch_to_device(it)
         steps = 0
         for batch in it:
-            keys = ('im_data', 'im_info', 'gt_boxes', 'support_ims')
-            batch = {k: batch[k] for k in keys}
+            keys = ('im_data', 'im_info', 'gt_boxes', 'support_ims',
+                    'all_gt_boxes')
+            batch = {k: batch[k] for k in keys if k in batch}
+            if args.profile and global_step == 3:
+                jax.profiler.start_trace(args.profile)
             state, metrics = step_fn(state, batch, rng)
+            if args.profile and global_step == 8:
+                jax.block_until_ready(state.params)
+                jax.profiler.stop_trace()
+                print(f'profiler trace written to {args.profile}')
             steps += 1
             global_step += 1
             for k, v in metrics.items():

@@ -23,8 +23,14 @@ import numpy as np
 def parse_args(argv=None):
     parser = argparse.ArgumentParser(description='Train a DAnA network')
     parser.add_argument('--dataset', default='pascal_voc', type=str)
-    parser.add_argument('--net', default='res50', type=str,
-                        help='vgg16, res50, res101')
+    parser.add_argument('--net', default='DAnA', type=str,
+                        help='model: DAnA, cisa, frcnn, fsod, meta, fgn '
+                             '(reference semantics, utils.py:108-127); '
+                             'a backbone name (res50/res101/vgg16) selects '
+                             'DAnA on that backbone')
+    parser.add_argument('--backbone', default='res50', type=str,
+                        help='res50, res101, vgg16 (reference hardcodes '
+                             'res50, dana.py:337)')
     parser.add_argument('--flip', dest='use_flip', action='store_true',
                         default=False)
     parser.add_argument('--o', dest='optimizer', default='sgd', type=str)
@@ -60,6 +66,12 @@ def parse_args(argv=None):
     parser.add_argument('--dlog', action='store_true', default=False)
     parser.add_argument('--imlog', action='store_true', default=False)
     parser.add_argument('--seed', default=1996, type=int)
+    parser.add_argument('--clip_norm', default=0.0, type=float,
+                        help='global grad-norm clip '
+                             '(reference clips only for vgg16)')
+    parser.add_argument('--profile', default=None, type=str,
+                        help='capture a jax.profiler trace into this dir '
+                             '(steps 3-8 of the run)')
     parser.add_argument('--set', dest='set_cfgs_extra', nargs='*',
                         default=None,
                         help='extra config overrides: KEY VALUE ...')
@@ -134,10 +146,13 @@ def load_cfg(args):
 def get_model(name, pretrained=True, use_BA_block=True, way=2, shot=3,
               classes=('fg', 'bg'), net='res50', seed=1996):
     """-> (DanaConfig, params).  Parity: reference utils.get_model
-    (utils.py:108-127)."""
+    (utils.py:108-127).  `name` is the framework (DAnA/cisa/frcnn/fsod/
+    meta/fgn); backbone names alias to DAnA on that backbone."""
     from dana_tpu.models import dana
     from dana_tpu.utils.config import cfg
 
+    if name in ('res50', 'res101', 'vgg16'):
+        net, name = name, 'DAnA'
     arch = {'res50': 'resnet50', 'res101': 'resnet101',
             'vgg16': 'vgg16'}[net]
     common = dict(
