@@ -8,7 +8,6 @@ parsing, class list, results writing) and voc_eval.py:210 (the
 
 from __future__ import annotations
 
-import os
 import os.path as osp
 import xml.etree.ElementTree as ET
 
