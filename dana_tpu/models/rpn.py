@@ -181,6 +181,22 @@ def anchor_target(anchors, gt_boxes, im_info, key, *, batch_rois=256,
     return labels, targets, inside_w, outside_w
 
 
+def iou_anchor_target(anchors, gt_boxes, im_info, key, **kw):
+    """anchor_target + the per-anchor max-IoU map as a 5th output.
+
+    Parity: _IOUAnchorTargetLayer (iou_anchor_target_layer.py:31-224) —
+    not wired into any framework in the reference either, but part of the
+    public API surface."""
+    labels, targets, in_w, out_w = anchor_target(anchors, gt_boxes,
+                                                 im_info, key, **kw)
+    ov = iou_matrix_masked(anchors[None], gt_boxes)
+    inside = ((anchors[:, 0] >= 0) & (anchors[:, 1] >= 0) &
+              (anchors[:, 2] < im_info[:, None, 1]) &
+              (anchors[:, 3] < im_info[:, None, 0]))
+    max_ov = jnp.where(inside, ov.max(axis=2), 0.0)
+    return labels, targets, in_w, out_w, max_ov
+
+
 def proposal_target(rois, gt_boxes, key, *, rois_per_image=128,
                     fg_fraction=0.25, fg_thresh=0.5, bg_thresh_hi=0.5,
                     bg_thresh_lo=0.1, bbox_normalize_means=(0., 0., 0., 0.),
