@@ -68,14 +68,17 @@ def main(argv=None):
 
     trainable = optim.trainable_mask(params,
                                      fixed_blocks=cfg.RESNET.FIXED_BLOCKS)
-    step_fn = train_engine.make_train_step(
-        config, trainable, momentum=cfg.TRAIN.MOMENTUM,
-        weight_decay=cfg.TRAIN.WEIGHT_DECAY,
-        double_bias=cfg.TRAIN.DOUBLE_BIAS,
-        clip_norm=args.clip_norm
-        or (10.0 if args.backbone == 'vgg16' else 0.0),
-        model='DAnA' if args.net in ('res50', 'res101', 'vgg16')
-        else args.net)
+    step_kw = dict(momentum=cfg.TRAIN.MOMENTUM,
+                   weight_decay=cfg.TRAIN.WEIGHT_DECAY,
+                   double_bias=cfg.TRAIN.DOUBLE_BIAS,
+                   clip_norm=args.clip_norm
+                   or (10.0 if args.backbone == 'vgg16' else 0.0),
+                   model='DAnA' if args.net in ('res50', 'res101', 'vgg16')
+                   else args.net)
+    step_fn = train_engine.make_train_step(config, trainable, **step_kw)
+    multi_fn = train_engine.make_multi_train_step(config, trainable,
+                                                  **step_kw) \
+        if args.steps_per_call > 1 else None
     state = train_engine.create_train_state(params, lr)
 
     mesh = None
@@ -109,21 +112,43 @@ def main(argv=None):
             it = (train_engine.shard_batch(b, mesh) for b in it)
         it = prefetch_to_device(it)
         steps = 0
-        for batch in it:
-            keys = ('im_data', 'im_info', 'gt_boxes', 'support_ims',
-                    'all_gt_boxes')
-            batch = {k: batch[k] for k in keys if k in batch}
+        keys = ('im_data', 'im_info', 'gt_boxes', 'support_ims',
+                'all_gt_boxes')
+
+        def run_batches(iterator):
+            """Yield (n_steps, metrics-mean) applying single or staged
+            multi-step calls."""
+            nonlocal state
+            stage = []
+            for b in iterator:
+                b = {k: b[k] for k in keys if k in b}
+                if args.steps_per_call <= 1:
+                    state, m = step_fn(state, b, rng)
+                    yield 1, m
+                    continue
+                stage.append(b)
+                if len(stage) == args.steps_per_call:
+                    stacked = {k: jnp.stack([s[k] for s in stage])
+                               for k in stage[0]}
+                    state, ms = multi_fn(state, stacked, rng)
+                    stage = []
+                    yield args.steps_per_call, \
+                        {k: v.mean() for k, v in ms.items()}
+            for b in stage:   # leftover tail, single steps
+                state, m = step_fn(state, b, rng)
+                yield 1, m
+
+        for n, metrics in run_batches(it):
             if args.profile and global_step == 3:
                 jax.profiler.start_trace(args.profile)
-            state, metrics = step_fn(state, batch, rng)
-            if args.profile and global_step == 8:
+            if args.profile and global_step >= 8 and global_step - n < 8:
                 jax.block_until_ready(state.params)
                 jax.profiler.stop_trace()
                 print(f'profiler trace written to {args.profile}')
-            steps += 1
-            global_step += 1
+            steps += n
+            global_step += n
             for k, v in metrics.items():
-                loss_acc[k] = loss_acc.get(k, 0.0) + float(v)
+                loss_acc[k] = loss_acc.get(k, 0.0) + float(v) * n
             if steps % args.disp_interval == 0:
                 dt = time.time() - t0
                 msg = ', '.join(f'{k}: {loss_acc[k] / steps:.4f}'

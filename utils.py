@@ -69,6 +69,9 @@ def parse_args(argv=None):
     parser.add_argument('--clip_norm', default=0.0, type=float,
                         help='global grad-norm clip '
                              '(reference clips only for vgg16)')
+    parser.add_argument('--steps_per_call', default=1, type=int,
+                        help='stage N batches per jitted call (lax.scan); '
+                             'amortizes dispatch latency on TPU')
     parser.add_argument('--profile', default=None, type=str,
                         help='capture a jax.profiler trace into this dir '
                              '(steps 3-8 of the run)')
