@@ -73,21 +73,23 @@ def sgd_update(params, grads, state: SGDState, *, momentum=0.9,
     if trainable is None:
         trainable = jax.tree.map(lambda _: True, params)
 
-    def upd(p, g, v, is_bias, is_trainable):
+    treedef = jax.tree.structure(params)
+    flat = [jax.tree.leaves(t) for t in
+            (params, grads, state.velocity, bias, trainable)]
+    new_p, new_v = [], []
+    for p, g, v, is_bias, is_trainable in zip(*flat):
         if not is_trainable:
-            return p, v
+            new_p.append(p)
+            new_v.append(v)
+            continue
         wd = 0.0 if (is_bias and not bias_decay) else weight_decay
         lr_mult = 2.0 if (is_bias and double_bias) else 1.0
-        g = g + wd * p
-        v = momentum * v + g
-        return p - state.lr * lr_mult * v, v
-
-    out = jax.tree.map(upd, params, grads, state.velocity, bias, trainable)
-    new_params = jax.tree.map(lambda _, o: o[0], params, out,
-                              is_leaf=lambda x: isinstance(x, tuple))
-    new_vel = jax.tree.map(lambda _, o: o[1], params, out,
-                           is_leaf=lambda x: isinstance(x, tuple))
-    return new_params, SGDState(velocity=new_vel, lr=state.lr)
+        v = momentum * v + (g + wd * p)
+        new_p.append(p - state.lr * lr_mult * v)
+        new_v.append(v)
+    return (jax.tree.unflatten(treedef, new_p),
+            SGDState(velocity=jax.tree.unflatten(treedef, new_v),
+                     lr=state.lr))
 
 
 def clip_gradients(grads, clip_norm: float):

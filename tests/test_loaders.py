@@ -1,0 +1,84 @@
+"""Episodic loader tests over the synthetic dataset (host-side only)."""
+
+import numpy as np
+import pytest
+
+from dana_tpu.data.fs_loader import (EpisodicBatcher, FewShotLoader,
+                                     build_support_db)
+from dana_tpu.data.imdb import combined_roidb
+from dana_tpu.data.inference_loader import (ALLCLSFSLoader, InferenceLoader,
+                                            MultiwayLoader, SupportPool)
+
+
+@pytest.fixture(scope='module')
+def synth():
+    imdb_, roidb, ratio_list, ratio_index = combined_roidb(
+        'synth_train', training=False, use_flipped=False)
+    return imdb_, roidb
+
+
+def test_support_db_filters(synth):
+    imdb_, roidb = synth
+    db = build_support_db(roidb, imdb_.num_classes)
+    total = sum(len(d) for d in db)
+    assert total > 0
+    assert len(db[0]) == 0  # background never in the DB
+    for cls_entries in db:
+        for info in cls_entries:
+            b = info['box']
+            w, h = b[2] - b[0], b[3] - b[1]
+            assert w >= 64 and h >= 64 and w <= 2 * h and h <= 2 * w
+
+
+def test_fewshot_episode_shapes_and_labels(synth):
+    imdb_, roidb = synth
+    loader = FewShotLoader(roidb, imdb_.num_classes, num_way=2, num_shot=3,
+                           seed=1)
+    item = loader[2]
+    assert item['im_data'].shape[2] == 3
+    assert item['support_ims'].shape == (6, 320, 320, 3)
+    gt = item['gt_boxes']
+    n = int(item['num_boxes'])
+    assert (gt[:n, 4] == 1).all()              # labels remapped to 1
+    assert (gt[n:] == 0).all()                 # zero padding
+    # boxes inside the scaled image
+    h, w, _ = item['im_info']
+    assert (gt[:n, 2] <= w) .all() and (gt[:n, 3] <= h).all()
+    # determinism
+    item2 = loader[2]
+    np.testing.assert_array_equal(item['gt_boxes'], item2['gt_boxes'])
+    np.testing.assert_array_equal(item['support_ims'], item2['support_ims'])
+
+
+def test_batcher_groups_buckets(synth):
+    imdb_, roidb = synth
+    loader = FewShotLoader(roidb, imdb_.num_classes, num_way=2, num_shot=2,
+                           seed=1)
+    batcher = EpisodicBatcher(loader, 4, shuffle=True, seed=0)
+    batch = next(iter(batcher))
+    assert batch['im_data'].shape[0] == 4
+    assert batch['im_data'].ndim == 4
+
+
+def test_inference_loader_target_class(synth):
+    imdb_, roidb = synth
+    pool = SupportPool(imdb_.classes, 2, support_roidb=roidb, seed=0)
+    loader = InferenceLoader(roidb, pool)
+    item = loader[0]
+    assert item['support_ims'].shape == (2, 320, 320, 3)
+    assert int(item['target_cls']) == int(roidb[0]['gt_classes'][0])
+    # seeded pool is fixed
+    pool2 = SupportPool(imdb_.classes, 2, support_roidb=roidb, seed=0)
+    np.testing.assert_array_equal(pool.get(int(item['target_cls'])),
+                                  pool2.get(int(item['target_cls'])))
+
+
+def test_multiway_loader(synth):
+    imdb_, roidb = synth
+    pool = SupportPool(imdb_.classes, 2, support_roidb=roidb, seed=0)
+    loader = MultiwayLoader(roidb, pool, num_way=3)
+    item = loader[0]
+    assert item['support_ims'].shape == (6, 320, 320, 3)   # way*shot
+    assert len(item['selected_ways']) == 3
+    present = int(roidb[0]['gt_classes'][0])
+    assert present in item['selected_ways']

@@ -1,0 +1,122 @@
+"""End-to-end capability run on the synthetic dataset (TPU).
+
+Trains DAnA from random init on synth_train (60 images, 8 classes,
+2-way 2-shot episodes) with scan-staged steps, then evaluates
+synth_test with the full inference + COCOeval pipeline and prints AP.
+
+Usage: python tools/synth_train_eval.py [epochs] (default 20)
+"""
+
+import sys
+import time
+
+sys.path.insert(0, '/root/repo')
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dana_tpu.utils.config import cfg_from_list
+
+cfg_from_list([
+    'TRAIN.RPN_PRE_NMS_TOP_N', '600', 'TRAIN.RPN_POST_NMS_TOP_N', '128',
+    'TEST.RPN_PRE_NMS_TOP_N', '600', 'TEST.RPN_POST_NMS_TOP_N', '64',
+    'TPU.NMS_MAX_INPUT', '600',
+    'TRAIN.SCALES', '(304,)', 'TRAIN.MAX_SIZE', '512',
+    'TEST.SCALES', '(304,)', 'TEST.MAX_SIZE', '512',
+    'TRAIN.BATCH_SIZE', '32',
+    'TPU.SIZE_BUCKETS', '[(304, 512), (512, 304), (416, 416)]'])
+
+from dana_tpu.data.imdb import combined_roidb
+from dana_tpu.data.fs_loader import FewShotLoader
+from dana_tpu.data.inference_loader import InferenceLoader, SupportPool
+from dana_tpu.engine import optim, train as te
+from dana_tpu.engine.postprocess import postprocess_batch
+from dana_tpu.models import dana
+from dana_tpu.models.layers import to_jnp
+
+
+def main(epochs=20):
+    imdb_tr, roidb_tr, _, _ = combined_roidb('synth_train', training=False,
+                                             use_flipped=False)
+    config = dana.DanaConfig(
+        n_way=2, n_shot=2, anchor_scales=(4, 8, 16, 32),
+        train_pre_nms=600, train_post_nms=128, test_pre_nms=600,
+        test_post_nms=64, nms_cap=600, rois_per_image=32)
+    params = to_jnp(dana.init_params(config, seed=0))
+    trainable = optim.trainable_mask(params)
+    state = te.create_train_state(params, 2e-3)
+
+    # stage 2 episode variants per image (different support draws)
+    t0 = time.time()
+    stacks = []
+    for seed in (7, 8):
+        loader = FewShotLoader(roidb_tr, imdb_tr.num_classes, num_way=2,
+                               num_shot=2, seed=seed)
+        eps = [loader[i] for i in range(len(roidb_tr))]
+        stacks.append({k: np.stack([e[k] for e in eps])
+                       for k in ('im_data', 'im_info', 'gt_boxes',
+                                 'support_ims')})
+    batches = {k: jnp.asarray(np.concatenate([s[k] for s in stacks]))[:, None]
+               for k in stacks[0]}   # [120, 1(bs), ...]
+    print(f'staged {batches["im_data"].shape[0]} episodes '
+          f'in {time.time() - t0:.0f}s', flush=True)
+
+    def loss(params, ep, rng):
+        return te.loss_fn(params, config, ep, rng)
+
+    @jax.jit
+    def epoch_fn(state, rng):
+        def body(st, ep):
+            key = jax.random.fold_in(rng, st.step)
+            (_, m), g = jax.value_and_grad(loss, has_aux=True)(
+                st.params, ep, key)
+            g = optim.clip_gradients(g, 10.0)
+            p2, o2 = optim.sgd_update(st.params, g, st.opt,
+                                      trainable=trainable)
+            return te.TrainState(p2, o2, st.step + 1), m['loss']
+        st, losses = jax.lax.scan(body, state, batches)
+        return st, losses.mean()
+
+    rng = jax.random.PRNGKey(0)
+    t0 = time.time()
+    for e in range(epochs):
+        if e == epochs * 3 // 4:
+            state = state._replace(opt=state.opt._replace(
+                lr=state.opt.lr * 0.1))
+        state, ml = epoch_fn(state, jax.random.fold_in(rng, e))
+        if e % 2 == 0 or e == epochs - 1:
+            print(f'epoch {e}: loss {float(ml):.4f} '
+                  f'[{time.time() - t0:.0f}s]', flush=True)
+
+    # ---------------- eval ----------------
+    imdb_te, roidb_te, _, _ = combined_roidb('synth_test', training=False,
+                                             use_flipped=False)
+    pool = SupportPool(imdb_te.classes, 2, support_roidb=roidb_tr, seed=0)
+    loader = InferenceLoader(roidb_te, pool)
+
+    @jax.jit
+    def predict(params, im, info, sup):
+        out = dana.forward(params, config, im, info, sup, training=False)
+        return postprocess_batch(out['rois'], out['cls_prob'],
+                                 out['bbox_pred'], info)
+
+    all_boxes = [[[] for _ in range(len(roidb_te))]
+                 for _ in range(imdb_te.num_classes)]
+    for i in range(len(roidb_te)):
+        it = loader[i]
+        dets, valid = predict(state.params,
+                              jnp.asarray(it['im_data'])[None],
+                              jnp.asarray(it['im_info'])[None],
+                              jnp.asarray(it['support_ims'])[None])
+        d = np.asarray(dets[0])[np.asarray(valid[0])]
+        all_boxes[int(it['target_cls'])][i] = d
+    result = imdb_te.evaluate_detections(all_boxes,
+                                         '/root/repo/.scratch/synth_ap')
+    print('FINAL AP:', round(result['stats'][0], 4),
+          'AP50:', round(result['stats'][1], 4), flush=True)
+    return result
+
+
+if __name__ == '__main__':
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 20)
