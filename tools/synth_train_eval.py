@@ -65,8 +65,11 @@ def main(epochs=20):
     def loss(params, ep, rng):
         return te.loss_fn(params, config, ep, rng)
 
+    # batches MUST be an argument, not a closure: closed-over arrays
+    # become jit constants and an 800MB constant pool wedges the remote
+    # compiler for tens of minutes
     @jax.jit
-    def epoch_fn(state, rng):
+    def epoch_fn(state, batches, rng):
         def body(st, ep):
             key = jax.random.fold_in(rng, st.step)
             (_, m), g = jax.value_and_grad(loss, has_aux=True)(
@@ -78,13 +81,14 @@ def main(epochs=20):
         st, losses = jax.lax.scan(body, state, batches)
         return st, losses.mean()
 
+    batches = jax.device_put(batches)
     rng = jax.random.PRNGKey(0)
     t0 = time.time()
     for e in range(epochs):
         if e == epochs * 3 // 4:
             state = state._replace(opt=state.opt._replace(
                 lr=state.opt.lr * 0.1))
-        state, ml = epoch_fn(state, jax.random.fold_in(rng, e))
+        state, ml = epoch_fn(state, batches, jax.random.fold_in(rng, e))
         if e % 2 == 0 or e == epochs - 1:
             print(f'epoch {e}: loss {float(ml):.4f} '
                   f'[{time.time() - t0:.0f}s]', flush=True)
