@@ -322,8 +322,9 @@ def _pool_rois(config: DanaConfig, base_feat, rois):
     return roi_pool(base_feat, rois, config.pooling_size, 1.0 / 16.0)
 
 
-def forward(params, config: DanaConfig, im_data, im_info, support_ims,
-            training: bool = False, gt_boxes=None, rng=None):
+def forward(params, config: DanaConfig, im_data, im_info, support_ims=None,
+            training: bool = False, gt_boxes=None, rng=None,
+            support_feats=None):
     """Full episodic forward (dana.py:87-220).
 
     Args:
@@ -332,6 +333,11 @@ def forward(params, config: DanaConfig, im_data, im_info, support_ims,
       support_ims: [B, n_way*n_shot (train) | n_shot (eval), 320, 320, 3].
       gt_boxes: [B, G, 5] padded gt (train only; class col holds 1).
       rng: PRNG key (train only; drives target-layer sampling).
+      support_feats: optional precomputed (sup_feat [B,n,20,20,C],
+        sup_pooled [B,n,7,7,C]) — at eval the per-class supports are
+        fixed (seeded pool, inference_loader), so their backbone pass can
+        be hoisted out of the per-batch loop entirely (the reference
+        re-encodes supports for every query image, inference.py:100).
 
     Returns a dict mirroring the reference 8-tuple: rois, cls_prob,
     bbox_pred, rpn_loss_cls, rpn_loss_box, rcnn_loss_cls, rcnn_loss_bbox,
@@ -341,7 +347,11 @@ def forward(params, config: DanaConfig, im_data, im_info, support_ims,
     base_feat = backbone_base(params, config, im_data.astype(cdt))
     b, fh, fw, _ = base_feat.shape
 
-    sup_feat, sup_pooled = extract_support_feats(params, config, support_ims)
+    if support_feats is not None:
+        sup_feat, sup_pooled = support_feats
+    else:
+        sup_feat, sup_pooled = extract_support_feats(params, config,
+                                                     support_ims)
     pos_feat = sup_feat[:, :config.n_shot]
     pos_pooled = sup_pooled[:, :config.n_shot]
     if training:

@@ -74,20 +74,38 @@ def main(argv=None):
     from dana_tpu.models import frameworks
     model_name = 'DAnA' if args.net in ('res50', 'res101', 'vgg16') \
         else args.net
+    use_sup_cache = model_name in ('DAnA', 'cisa')
 
-    def forward(params, im_data, im_info, support_ims):
-        if model_name in ('DAnA', 'cisa'):
+    @jax.jit
+    def encode_supports(params, sup):
+        return dana.extract_support_feats(params, config, sup)
+
+    _sup_cache = {}
+
+    def batch_support_feats(classes):
+        """Per-class support features, encoded once (the reference
+        re-runs the support backbone for every query image)."""
+        for c in {int(c) for c in classes}:
+            if c not in _sup_cache:
+                s = jnp.asarray(pool.get(c))[None]
+                _sup_cache[c] = encode_supports(params, s)
+        fs = [_sup_cache[int(c)] for c in classes]
+        return (jnp.concatenate([f[0] for f in fs]),
+                jnp.concatenate([f[1] for f in fs]))
+
+    def forward(params, im_data, im_info, support_arg):
+        if use_sup_cache:
             return dana.forward(params, config, im_data, im_info,
-                                support_ims, training=False)
+                                training=False, support_feats=support_arg)
         if model_name == 'frcnn':
             return frameworks.frcnn_forward(params, config, im_data,
                                             im_info, training=False)
         return frameworks.forward_fn(model_name)(
-            params, config, im_data, im_info, support_ims, training=False)
+            params, config, im_data, im_info, support_arg, training=False)
 
     @jax.jit
-    def predict(params, im_data, im_info, support_ims):
-        out = forward(params, im_data, im_info, support_ims)
+    def predict(params, im_data, im_info, support_arg):
+        out = forward(params, im_data, im_info, support_arg)
         return postprocess_batch(
             out['rois'], out['cls_prob'], out['bbox_pred'], im_info,
             bbox_stds=tuple(cfg.TRAIN.BBOX_NORMALIZE_STDS),
@@ -112,9 +130,15 @@ def main(argv=None):
             batch = {k: np.stack([it[k] for it in items] +
                                  [items[-1][k]] * pad)
                      for k in ('im_data', 'im_info', 'support_ims')}
+            if use_sup_cache:
+                classes = [it['target_cls'] for it in items] \
+                    + [items[-1]['target_cls']] * pad
+                support_arg = batch_support_feats(classes)
+            else:
+                support_arg = jnp.asarray(batch['support_ims'])
             dets, valid = predict(params, jnp.asarray(batch['im_data']),
                                   jnp.asarray(batch['im_info']),
-                                  jnp.asarray(batch['support_ims']))
+                                  support_arg)
             dets = np.asarray(dets)
             valid = np.asarray(valid)
             for bi, img_idx in enumerate(chunk):
