@@ -54,7 +54,11 @@ class FewShotLoader:
     def __init__(self, roidb, num_classes, training=True, num_way=2,
                  num_shot=5, max_num_box=20, seed=1996,
                  pixel_means=None, buckets=None,
-                 scale=None, max_size=None, support_size=320):
+                 scale=None, max_size=None, support_size=320,
+                 allowed_classes=None):
+        """allowed_classes: optional set of class indices the positive way
+        may be drawn from (base/novel split training — the reference
+        realizes this through separate annotation packs, coco60_train)."""
         from dana_tpu.utils.config import cfg
         buckets = buckets or [tuple(b) for b in cfg.TPU.SIZE_BUCKETS]
         scale = scale or (cfg.TRAIN.SCALES[0] if training
@@ -74,8 +78,22 @@ class FewShotLoader:
         self.scale = scale
         self.max_size = max_size
         self.support_size = support_size
+        self.allowed_classes = (set(allowed_classes)
+                                if allowed_classes is not None else None)
         self.support_db = build_support_db(roidb, num_classes)
         self._im_cache = {}
+
+    def valid_indices(self):
+        """roidb indices usable as episodes (has an allowed positive class
+        with a non-empty support pool)."""
+        out = []
+        for i, entry in enumerate(self.roidb):
+            classes = {int(c) for c in entry['gt_classes'] if c != 0}
+            if self.allowed_classes is not None:
+                classes &= self.allowed_classes
+            if any(self.support_db[c] for c in classes):
+                out.append(i)
+        return out
 
     def __len__(self):
         return len(self.roidb)
@@ -128,7 +146,12 @@ class FewShotLoader:
         rng.shuffle(gt)
 
         classes_in_query = sorted({int(c) for c in gt[:, 4]})
-        pos_cls = int(rng.choice(classes_in_query))
+        if self.allowed_classes is not None:
+            eligible = [c for c in classes_in_query
+                        if c in self.allowed_classes and self.support_db[c]]
+        else:
+            eligible = [c for c in classes_in_query if self.support_db[c]]
+        pos_cls = int(rng.choice(eligible or classes_in_query))
 
         supports = np.zeros((self.num_way * self.num_shot,
                              self.support_size, self.support_size, 3),
@@ -137,7 +160,9 @@ class FewShotLoader:
             supports[i] = s
         if self.num_way > 1:
             absent = [c for c in range(1, self.num_classes)
-                      if c not in classes_in_query and self.support_db[c]]
+                      if c not in classes_in_query and self.support_db[c]
+                      and (self.allowed_classes is None
+                           or c in self.allowed_classes)]
             neg_cls = int(rng.choice(absent)) if absent else pos_cls
             for i, s in enumerate(self._sample_supports(neg_cls, rng)):
                 supports[self.num_shot + i] = s
