@@ -57,3 +57,40 @@ def load_checkpoint(path):
 def checkpoint_path(save_dir, epoch, step, suffix='dkpt'):
     d = osp.join(save_dir, 'train', 'checkpoints')
     return osp.join(d, f'model_{epoch}_{step}.{suffix}')
+
+
+def save_net_h5(path, params):
+    """HDF5 param dump (parity surface: net_utils.save_net:12-16; flat
+    'a.b.c' keys, one dataset per leaf)."""
+    import h5py
+    flat = {}
+
+    def walk(node, prefix=''):
+        for k, v in node.items():
+            key = f'{prefix}{k}'
+            if isinstance(v, dict):
+                walk(v, key + '.')
+            else:
+                flat[key] = np.asarray(v)
+    walk(params)
+    os.makedirs(osp.dirname(path) or '.', exist_ok=True)
+    with h5py.File(path, 'w') as f:
+        for k, v in flat.items():
+            f.create_dataset(k, data=v)
+
+
+def load_net_h5(path):
+    """Inverse of save_net_h5 -> nested param tree
+    (net_utils.load_net:18-23)."""
+    import h5py
+    out = {}
+    with h5py.File(path, 'r') as f:
+        def visit(key, obj):
+            if isinstance(obj, h5py.Dataset):
+                parts = key.split('.')
+                node = out
+                for p in parts[:-1]:
+                    node = node.setdefault(p, {})
+                node[parts[-1]] = obj[()]
+        f.visititems(visit)
+    return out
