@@ -55,6 +55,17 @@ def trainable_mask(params, *, fixed_blocks: int = 1,
     return jax.tree_util.tree_map_with_path(leaf_mask, params)
 
 
+def finetune_mask(params, head_keys=('RCNN_cls_score', 'RCNN_bbox_pred',
+                                     'output_score_layer',
+                                     'rcnn_transform_layer')):
+    """Trainable mask for finetuning: heads only (parity:
+    FasterRCNN.finetune, faster_rcnn.py:192-204 freezes everything but
+    the cls/bbox heads)."""
+    def leaf_mask(path, leaf):
+        return _path_str(path).split('.')[0] in head_keys
+    return jax.tree_util.tree_map_with_path(leaf_mask, params)
+
+
 def _bias_mask(params):
     return jax.tree_util.tree_map_with_path(
         lambda path, _: _path_str(path).endswith('bias'), params)
