@@ -97,18 +97,33 @@ def roi_align(feat: jnp.ndarray, rois: jnp.ndarray, output_size: int = 7,
     B, H, W, C = feat.shape
     dtype = feat.dtype
 
+    # bf16 perf path: combine the two axis-weight matrices into one
+    # [R, P*P, H*W] operand and hit the MXU with a single batched matmul.
+    # The separable two-einsum path materializes an [R, P, W, C]
+    # intermediate (~215 MB/image at eval shapes — measured 5.4 ms/batch
+    # of pure HBM traffic); the combined form trades that for extra
+    # MXU FLOPs, which are nearly free.  f32 keeps the separable path
+    # with HIGHEST precision for CUDA-parity numerics.
+    combine = dtype != jnp.float32
+
     def per_image(f, r):
         r = r.astype(jnp.float32) * spatial_scale
         wy = _axis_weights(r[:, 1], r[:, 3], H, output_size, max_samples,
                            sampling_ratio)                  # [R,P,H]
         wx = _axis_weights(r[:, 0], r[:, 2], W, output_size, max_samples,
                            sampling_ratio)                  # [R,P,W]
+        if combine:
+            wcomb = jnp.einsum('rph,rqw->rpqhw', wy, wx).astype(dtype)
+            out = jnp.einsum(
+                'rpqhw,hwc->rpqc', wcomb, f,
+                preferred_element_type=jnp.float32).astype(dtype)
+            return out
         wy = wy.astype(dtype)
         wx = wx.astype(dtype)
         # [R,P,H] x [H, W*C] -> [R,P,W,C]; then contract W per roi.
         # precision=highest: parity with the CUDA kernel's fp32 math — the
         # TPU default would run fp32 matmuls in bf16 passes.
-        prec = jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
+        prec = jax.lax.Precision.HIGHEST
         tmp = jnp.einsum('rph,hwc->rpwc', wy, f, precision=prec,
                          preferred_element_type=jnp.float32).astype(dtype)
         out = jnp.einsum('rqw,rpwc->rpqc', wx, tmp, precision=prec,
