@@ -118,6 +118,10 @@ def _register_all():
     from dana_tpu.data.synth import synth_fsod
     _register('synth_train', lambda: synth_fsod('train'))
     _register('synth_test', lambda: synth_fsod('test', num_images=20))
+    _register('synth_train_big', lambda: synth_fsod('train_big',
+                                                    num_images=240))
+    _register('synth_test_big', lambda: synth_fsod('test_big',
+                                                   num_images=60))
 
 
 _register_all()

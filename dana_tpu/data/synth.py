@@ -34,7 +34,11 @@ def generate_synth_dataset(root: str, split: str = 'train',
     if osp.exists(ann_file):
         return ann_file, img_dir
     os.makedirs(img_dir, exist_ok=True)
-    rng = np.random.default_rng(seed + (0 if split == 'train' else 1))
+    # per-split stream: distinct splits must never share image RNG
+    # (a plain +1 offset made 'test' a prefix of other splits); crc32 is
+    # stable across processes, unlike builtin str hash
+    import zlib
+    rng = np.random.default_rng([seed, zlib.crc32(split.encode())])
     names = list(_CLASS_COLORS)
     images, annotations = [], []
     ann_id = 1

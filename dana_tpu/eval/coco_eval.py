@@ -88,8 +88,11 @@ def _evaluate_img(dets, gts, area_rng, max_dets):
     d_out_of_range = (d_area < area_rng[0]) | (d_area > area_rng[1])
     dt_ig = np.zeros((t, nd), bool)
     for ti in range(t):
-        matched_ignored = (dt_m[ti] >= 0) & g_ignore[
-            np.maximum(dt_m[ti], 0)]
+        if ng:
+            matched_ignored = (dt_m[ti] >= 0) & g_ignore[
+                np.maximum(dt_m[ti], 0)]
+        else:
+            matched_ignored = np.zeros((nd,), bool)
         dt_ig[ti] = matched_ignored | ((dt_m[ti] < 0) & d_out_of_range)
     return dt_m >= 0, dt_ig, g_ignore, d_scores
 

@@ -36,8 +36,8 @@ from dana_tpu.models import dana
 from dana_tpu.models.layers import to_jnp
 
 
-def main(epochs=20):
-    imdb_tr, roidb_tr, _, _ = combined_roidb('synth_train', training=False,
+def main(epochs=20, train_name='synth_train', test_name='synth_test'):
+    imdb_tr, roidb_tr, _, _ = combined_roidb(train_name, training=False,
                                              use_flipped=False)
     config = dana.DanaConfig(
         n_way=2, n_shot=2, anchor_scales=(4, 8, 16, 32),
@@ -57,12 +57,22 @@ def main(epochs=20):
         stacks.append({k: np.stack([e[k] for e in eps])
                        for k in ('im_data', 'im_info', 'gt_boxes',
                                  'support_ims')})
-    batches = {k: jnp.asarray(np.concatenate([s[k] for s in stacks]))[:, None]
-               for k in stacks[0]}   # [120, 1(bs), ...]
+    batches = {k: np.concatenate([s[k] for s in stacks])[:, None]
+               for k in stacks[0]}
+    # stage images channel-FIRST: a [..., 3]-trailing scan operand gets
+    # lane-padded 3->128 in TPU tiled layout (42x HBM inflation — a
+    # 480-episode stack of supports tried to allocate 50 GB)
+    batches['im_data'] = batches['im_data'].transpose(0, 1, 4, 2, 3)
+    batches['support_ims'] = batches['support_ims'].transpose(0, 1, 2, 5, 3, 4)
+    batches = {k: jnp.asarray(v) for k, v in batches.items()}   # [120, 1(bs), ...]
     print(f'staged {batches["im_data"].shape[0]} episodes '
           f'in {time.time() - t0:.0f}s', flush=True)
 
     def loss(params, ep, rng):
+        ep = dict(ep,
+                  im_data=jnp.transpose(ep['im_data'], (0, 2, 3, 1)),
+                  support_ims=jnp.transpose(ep['support_ims'],
+                                            (0, 1, 3, 4, 2)))
         return te.loss_fn(params, config, ep, rng)
 
     # batches MUST be an argument, not a closure: closed-over arrays
@@ -93,8 +103,12 @@ def main(epochs=20):
             print(f'epoch {e}: loss {float(ml):.4f} '
                   f'[{time.time() - t0:.0f}s]', flush=True)
 
+    from dana_tpu.utils import checkpoint as ck
+    ck.save_checkpoint('/root/repo/.scratch/synth_final.dkpt',
+                       jax.device_get(state.params), epoch=epochs)
+
     # ---------------- eval ----------------
-    imdb_te, roidb_te, _, _ = combined_roidb('synth_test', training=False,
+    imdb_te, roidb_te, _, _ = combined_roidb(test_name, training=False,
                                              use_flipped=False)
     pool = SupportPool(imdb_te.classes, 2, support_roidb=roidb_tr, seed=0)
     loader = InferenceLoader(roidb_te, pool)
@@ -123,7 +137,8 @@ def main(epochs=20):
 
 
 if __name__ == '__main__':
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 20)
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 20,
+         *(sys.argv[2:4] or ()))
 
 # Results (TPU v5e, random init, 2-way 2-shot, 60 train images):
 #   30 epochs (3.6k steps, ~4 min):  AP 0.139  AP50 0.202
