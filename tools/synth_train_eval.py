@@ -59,20 +59,24 @@ def main(epochs=20, train_name='synth_train', test_name='synth_test'):
                                  'support_ims')})
     batches = {k: np.concatenate([s[k] for s in stacks])[:, None]
                for k in stacks[0]}
-    # stage images channel-FIRST: a [..., 3]-trailing scan operand gets
-    # lane-padded 3->128 in TPU tiled layout (42x HBM inflation — a
-    # 480-episode stack of supports tried to allocate 50 GB)
-    batches['im_data'] = batches['im_data'].transpose(0, 1, 4, 2, 3)
-    batches['support_ims'] = batches['support_ims'].transpose(0, 1, 2, 5, 3, 4)
+    # stage images FLAT: any [..., small]-trailing scan operand gets
+    # lane-padded (3->128) in TPU tiled layout — 42x HBM inflation, and
+    # XLA hoists the relayout of the whole stack out of the loop (a
+    # 480-episode stack tried to allocate 50 GB).  A flat trailing dim
+    # tiles exactly; the per-step reshape happens on one slice in-loop.
+    im_shape = batches['im_data'].shape[1:]
+    sup_shape = batches['support_ims'].shape[1:]
+    k_eps = batches['im_data'].shape[0]
+    batches['im_data'] = batches['im_data'].reshape(k_eps, -1)
+    batches['support_ims'] = batches['support_ims'].reshape(k_eps, -1)
     batches = {k: jnp.asarray(v) for k, v in batches.items()}   # [120, 1(bs), ...]
     print(f'staged {batches["im_data"].shape[0]} episodes '
           f'in {time.time() - t0:.0f}s', flush=True)
 
     def loss(params, ep, rng):
         ep = dict(ep,
-                  im_data=jnp.transpose(ep['im_data'], (0, 2, 3, 1)),
-                  support_ims=jnp.transpose(ep['support_ims'],
-                                            (0, 1, 3, 4, 2)))
+                  im_data=ep['im_data'].reshape(im_shape),
+                  support_ims=ep['support_ims'].reshape(sup_shape))
         return te.loss_fn(params, config, ep, rng)
 
     # batches MUST be an argument, not a closure: closed-over arrays
