@@ -42,8 +42,8 @@ BASE = set(range(1, 7))
 NOVEL = (7, 8)
 
 
-def main(epochs=150):
-    imdb_tr, roidb_tr, _, _ = combined_roidb('synth_train', training=False,
+def main(epochs=150, train_name='synth_train', test_name='synth_test'):
+    imdb_tr, roidb_tr, _, _ = combined_roidb(train_name, training=False,
                                              use_flipped=False)
     config = dana.DanaConfig(
         n_way=2, n_shot=2, anchor_scales=(4, 8, 16, 32),
@@ -112,7 +112,7 @@ def main(epochs=150):
                   f'[{time.time() - t0:.0f}s]', flush=True)
 
     # ---------------- novel-class eval ----------------
-    imdb_te, roidb_te, _, _ = combined_roidb('synth_test', training=False,
+    imdb_te, roidb_te, _, _ = combined_roidb(test_name, training=False,
                                              use_flipped=False)
     pool = SupportPool(imdb_te.classes, 2, support_roidb=roidb_tr, seed=0)
 
@@ -154,7 +154,8 @@ def main(epochs=150):
 
 
 if __name__ == '__main__':
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 150)
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 150,
+         *(sys.argv[2:4] or ()))
 
 # Result (TPU v5e, 150 epochs on 6 base classes, random init):
 #   NOVEL-CLASS (held out from training) AP 0.067, AP50 0.154 over 11
