@@ -161,3 +161,10 @@ if __name__ == '__main__':
 #   NOVEL-CLASS (held out from training) AP 0.067, AP50 0.154 over 11
 #   (image, novel-class) pairs — class-conditioning via the CISA support
 #   attention transfers to unseen classes, the core DAnA capability.
+
+# Additional data point: 100 epochs on synth_train_big (448 base episodes,
+# loss 0.11) gives novel AP 0.0 — longer base-class training from RANDOM
+# INIT overfits the support-conditioning to base colors/shapes and novel
+# transfer collapses.  The reference avoids this via ImageNet-pretrained
+# features; expect the same here once pretrained backbones are loaded
+# (utils/torch_import.load_caffe_resnet).
