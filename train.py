@@ -87,13 +87,10 @@ def main(argv=None):
         state = train_engine.replicate(state, mesh)
         print(f'data-parallel over {len(jax.devices())} devices')
 
-    writer = None
+    logger = None
     if not args.dlog:
-        try:
-            from torch.utils.tensorboard import SummaryWriter
-            writer = SummaryWriter(os.path.join(args.save_dir, 'tb'))
-        except Exception:
-            pass
+        from dana_tpu.utils.fsod_logger import FSODLogger
+        logger = FSODLogger(os.path.join(args.save_dir, 'tb'))
 
     rng = jax.random.PRNGKey(args.seed)
     global_step = 0
@@ -159,9 +156,13 @@ def main(argv=None):
         if steps == 0:
             print('no batches; check dataset')
             break
-        if writer is not None:
-            for k in loss_acc:
-                writer.add_scalar(k, loss_acc[k] / steps, epoch)
+        if logger is not None:
+            # per-epoch scalars (+ query/support image grids with --imlog),
+            # parity: FSODLogger.write (fsod_logger.py:37-102)
+            sample = next(iter(batcher)) if args.imlog else None
+            logger.write(epoch,
+                         {k: loss_acc[k] / steps for k in loss_acc},
+                         batch=sample, save_im=args.imlog)
         path = ckpt_lib.checkpoint_path(args.save_dir, epoch, steps - 1)
         host_state = jax.device_get(state)
         ckpt_lib.save_checkpoint(
