@@ -14,6 +14,7 @@ import time
 sys.path.insert(0, '/root/repo')
 
 import jax
+import utils as _cli_utils; _cli_utils.enable_compilation_cache()  # persistent XLA cache
 import jax.numpy as jnp
 
 from dana_tpu.engine import optim, train as te

@@ -15,6 +15,7 @@ sys.path.insert(0, '/root/repo')
 
 import numpy as np
 import jax
+import utils as _cli_utils; _cli_utils.enable_compilation_cache()  # persistent XLA cache
 import jax.numpy as jnp
 
 from dana_tpu.utils.config import cfg_from_list
