@@ -85,8 +85,9 @@ if __name__ == '__main__':
          int(sys.argv[2]) if len(sys.argv) > 2 else 5,
          int(sys.argv[3]) if len(sys.argv) > 3 else 2)
 
-# Result (TPU v5e, checkpoint from synth_train_eval on synth_train_big,
-# 48k steps / ~15 min): 5-way 2-shot AP 0.749, AP50 0.882 on synth_test.
+# Results (TPU v5e, checkpoints from synth_train_eval on synth_train_big):
+#   48k steps (~15 min): 5-way 2-shot AP 0.749, AP50 0.882 on synth_test
+#  144k steps (~42 min): 5-way 2-shot AP 0.811, AP50 0.910
 # Note: the single-way protocol's lower AP (0.34) is bookkeeping — it
 # scores one target class per image while our synth annotations contain
 # all classes, so unevaluated (image, class) pairs count as missed gts;
