@@ -81,7 +81,9 @@ class FewShotLoader:
         self.allowed_classes = (set(allowed_classes)
                                 if allowed_classes is not None else None)
         self.support_db = build_support_db(roidb, num_classes)
-        self._im_cache = {}
+
+    def _class_has_supports(self, cls: int) -> bool:
+        return bool(self.support_db[cls])
 
     def valid_indices(self):
         """roidb indices usable as episodes (has an allowed positive class
@@ -91,7 +93,7 @@ class FewShotLoader:
             classes = {int(c) for c in entry['gt_classes'] if c != 0}
             if self.allowed_classes is not None:
                 classes &= self.allowed_classes
-            if any(self.support_db[c] for c in classes):
+            if any(self._class_has_supports(c) for c in classes):
                 out.append(i)
         return out
 
@@ -110,10 +112,15 @@ class FewShotLoader:
 
     def _sample_supports(self, cls, rng, replace_ok=True):
         pool = self.support_db[cls]
+        if not pool:
+            raise ValueError(
+                f'class {cls} has an empty support pool — episodes must be '
+                f'drawn from valid_indices() (support-poor classes on real '
+                f'COCO tails are expected; see build_support_db filters)')
         if len(pool) >= self.num_shot:
             idx = rng.choice(len(pool), self.num_shot, replace=False)
         else:
-            idx = rng.choice(max(len(pool), 1), self.num_shot, replace=True)
+            idx = rng.choice(len(pool), self.num_shot, replace=True)
         return [self._support_image(pool[int(i)], rng) for i in idx]
 
     def bucket_of(self, index):
@@ -146,12 +153,15 @@ class FewShotLoader:
         rng.shuffle(gt)
 
         classes_in_query = sorted({int(c) for c in gt[:, 4]})
-        if self.allowed_classes is not None:
-            eligible = [c for c in classes_in_query
-                        if c in self.allowed_classes and self.support_db[c]]
-        else:
-            eligible = [c for c in classes_in_query if self.support_db[c]]
-        pos_cls = int(rng.choice(eligible or classes_in_query))
+        eligible = [c for c in classes_in_query
+                    if (self.allowed_classes is None
+                        or c in self.allowed_classes)
+                    and self._class_has_supports(c)]
+        if not eligible:
+            raise ValueError(
+                f'roidb[{index}] has no positive class with supports '
+                f'(classes {classes_in_query}); iterate valid_indices()')
+        pos_cls = int(rng.choice(eligible))
 
         supports = np.zeros((self.num_way * self.num_shot,
                              self.support_size, self.support_size, 3),
@@ -160,7 +170,8 @@ class FewShotLoader:
             supports[i] = s
         if self.num_way > 1:
             absent = [c for c in range(1, self.num_classes)
-                      if c not in classes_in_query and self.support_db[c]
+                      if c not in classes_in_query
+                      and self._class_has_supports(c)
                       and (self.allowed_classes is None
                            or c in self.allowed_classes)]
             neg_cls = int(rng.choice(absent)) if absent else pos_cls
@@ -208,7 +219,14 @@ class FinetuneLoader(FewShotLoader):
             if files:
                 self.support_files[cls_ind] = files
 
+    def _class_has_supports(self, cls: int) -> bool:
+        return cls in self.support_files
+
     def _sample_supports(self, cls, rng, replace_ok=True):
+        if cls not in self.support_files:
+            raise ValueError(
+                f'class {cls} has no support directory files — episodes '
+                f'must be drawn from valid_indices()')
         files = self.support_files[cls]
         idx = rng.choice(len(files), self.num_shot,
                          replace=len(files) < self.num_shot)
@@ -238,7 +256,9 @@ class EpisodicBatcher:
 
     def _index_batches(self):
         groups = {}
-        for i in range(len(self.loader)):
+        # only episodes whose query has a supported positive class — on
+        # real COCO tails some images' classes have empty support pools
+        for i in self.loader.valid_indices():
             groups.setdefault(self.loader.bucket_of(i), []).append(i)
         rng = np.random.default_rng((self.seed, self._epoch))
         batches = []

@@ -153,7 +153,38 @@ class GeneralTestLoader(InferenceLoader):
                 'num_boxes': np.int32(0), 'index': np.int32(index)}
 
 
-OracleLoader = GeneralTestLoader
+class OracleLoader(GeneralTestLoader):
+    """Query + ALL-class gt boxes, training-style assembly, no supports —
+    for oracle evaluation of a conventional detector
+    (/root/reference/lib/roi_data_layer/oracle_loader.py:56-205: shuffled
+    gt, degenerate-box filter, fixed max_num_box padding, crop/pad to the
+    batch ratio).  TPU adaptation: the static bucket canvas replaces the
+    per-batch ratio crop/pad; gt labels keep their original class ids
+    (no remap-to-1 — the oracle protocol scores every class)."""
+
+    def __init__(self, roidb, max_num_box=None, seed=1996, **kw):
+        from dana_tpu.utils.config import cfg
+        super().__init__(
+            roidb, max_num_box=max_num_box or cfg.MAX_NUM_GT_BOXES, **kw)
+        self.seed = seed
+
+    def __getitem__(self, index):
+        item = super().__getitem__(index)   # im_data / im_info / index
+        entry = self.roidb[index]
+        rng = np.random.default_rng((self.seed, index))
+        scale = item['im_info'][2]
+        gt = np.zeros((len(entry['boxes']), 5), np.float32)
+        gt[:, :4] = entry['boxes'] * scale
+        gt[:, 4] = entry['gt_classes']
+        rng.shuffle(gt)                      # oracle_loader.py:79
+        # degenerate-box filter (oracle_loader.py:183-185)
+        keep = (gt[:, 0] != gt[:, 2]) & (gt[:, 1] != gt[:, 3])
+        gt = gt[keep][:self.max_num_box]
+        gt_pad = np.zeros((self.max_num_box, 5), np.float32)
+        gt_pad[:len(gt)] = gt
+        item['gt_boxes'] = gt_pad
+        item['num_boxes'] = np.int32(len(gt))
+        return item
 
 
 class MultiwayLoader(InferenceLoader):
@@ -178,22 +209,59 @@ class MultiwayLoader(InferenceLoader):
         return item
 
 
+class ResamplingSupportPool:
+    """SupportPool-compatible pool that samples + decodes supports lazily
+    per `get` call — only the requested class's `shot` images are read,
+    not the whole num_classes x shot grid.  `reseed(index)` pins the next
+    draws to a per-item stream."""
+
+    def __init__(self, classes, num_shot, support_roidb, seed=0,
+                 pixel_means=None, support_size=320):
+        from dana_tpu.utils.config import cfg
+        self.num_shot = num_shot
+        self.support_size = support_size
+        self.pixel_means = (pixel_means if pixel_means is not None
+                            else cfg.PIXEL_MEANS)
+        self.support_roidb = support_roidb
+        self.db = build_support_db(support_roidb, len(classes))
+        self.seed = seed
+        self._rng = np.random.default_rng(seed)
+
+    def reseed(self, index):
+        self._rng = np.random.default_rng((self.seed, int(index)))
+
+    def classes_available(self):
+        return [c for c in range(len(self.db)) if self.db[c]]
+
+    def get(self, cls_ind):
+        pool = self.db[cls_ind]
+        if not pool:
+            raise ValueError(f'class {cls_ind} has an empty support pool')
+        pick = self._rng.choice(len(pool), self.num_shot,
+                                replace=len(pool) < self.num_shot)
+        blobs = []
+        for i in pick:
+            entry = self.support_roidb[pool[int(i)]['roidb_idx']]
+            im = blob.imread_bgr(entry['image'])
+            blobs.append(blob.support_blob(im, pool[int(i)]['box'],
+                                           self.pixel_means,
+                                           self.support_size))
+        return np.stack(blobs)
+
+
 class ALLCLSFSLoader(InferenceLoader):
-    """Per-item random support resample (allcls_fs_loader.py:103-108)."""
+    """Per-item random support resample (allcls_fs_loader.py:103-108).
+
+    Unlike a naive per-item SupportPool rebuild (num_classes x shot image
+    decodes per query), only the target class's `shot` supports are
+    decoded, via ResamplingSupportPool."""
 
     def __init__(self, roidb, support_roidb, classes, num_shot,
                  seed=0, **kw):
-        self._support_roidb = support_roidb
-        self._classes = classes
-        self._num_shot = num_shot
-        self._seed = seed
-        pool = SupportPool(classes, num_shot, support_roidb=support_roidb,
-                           seed=seed)
+        pool = ResamplingSupportPool(classes, num_shot,
+                                     support_roidb=support_roidb, seed=seed)
         super().__init__(roidb, pool, **kw)
 
     def __getitem__(self, index):
-        # fresh pool sample per item
-        self.pool = SupportPool(self._classes, self._num_shot,
-                                support_roidb=self._support_roidb,
-                                seed=(self._seed, index).__hash__() & 0xffff)
+        self.pool.reseed(index)   # fresh, deterministic sample per item
         return super().__getitem__(index)

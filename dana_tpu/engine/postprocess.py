@@ -18,11 +18,18 @@ from dana_tpu.core.boxes import clip_boxes, decode_boxes
 from dana_tpu.ops.nms import nms_fixed
 
 
-@functools.partial(jax.jit, static_argnames=('max_per_image',))
+# thresholds/stats are STATIC: they arrive as Python floats/tuples from
+# config and must key the jit cache (a traced float would silently bake
+# the first call's value; a non-static arg would be fine but these are
+# compile-time constants anyway — static keeps XLA free to fold them).
+@functools.partial(jax.jit,
+                   static_argnames=('bbox_stds', 'bbox_means',
+                                    'score_thresh', 'nms_thresh',
+                                    'max_per_image'))
 def postprocess_batch(rois, cls_prob, bbox_pred, im_info,
                       bbox_stds=(0.1, 0.1, 0.2, 0.2),
                       bbox_means=(0.0, 0.0, 0.0, 0.0),
-                      score_thresh=0.05, nms_thresh=0.3,
+                      score_thresh: float = 0.05, nms_thresh: float = 0.3,
                       max_per_image: int = 100):
     """-> (dets [B, max_per_image, 5] (x1, y1, x2, y2, score) in raw-image
     coords, valid [B, max_per_image])."""

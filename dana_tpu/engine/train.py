@@ -32,6 +32,18 @@ def create_train_state(params, lr: float) -> TrainState:
     return TrainState(params=params, opt=opt, step=jnp.asarray(0, jnp.int32))
 
 
+def restore_optimizer(state: TrainState, opt_payload) -> TrainState:
+    """Rebuild momentum velocity from a checkpoint's `optimizer` payload
+    (reference train.py:96-99 restores the full optimizer state dict on
+    --r resume; dropping it restarts velocity at zero)."""
+    if opt_payload is None:
+        return state
+    vel = (opt_payload.velocity if hasattr(opt_payload, 'velocity')
+           else opt_payload['velocity'])
+    vel = jax.tree.map(jnp.asarray, vel)
+    return state._replace(opt=state.opt._replace(velocity=vel))
+
+
 def loss_fn(params, config: dana.DanaConfig, batch, rng, model='DAnA'):
     """Episodic loss for any framework (train.py:137: total = sum of the
     four heads' losses)."""
@@ -65,6 +77,9 @@ def loss_fn(params, config: dana.DanaConfig, batch, rng, model='DAnA'):
     metrics = dict(losses, loss=total,
                    fg_cnt=(out['rois_label'] > 0).sum(),
                    bg_cnt=(out['rois_label'] == 0).sum())
+    if 'param_updates' in out:      # e.g. FGN train-mode BN running stats
+        metrics['_param_updates'] = jax.lax.stop_gradient(
+            out['param_updates'])
     return total, metrics
 
 
@@ -90,6 +105,10 @@ def make_train_step(config: dana.DanaConfig, trainable=None, *, momentum=0.9,
             state.params, grads, state.opt, momentum=momentum,
             weight_decay=weight_decay, double_bias=double_bias,
             trainable=trainable)
+        updates = metrics.pop('_param_updates', None)
+        if updates is not None:     # non-grad buffer updates (BN stats)
+            for mod, stats in updates.items():
+                new_params[mod] = dict(new_params[mod], **stats)
         if skip_nonfinite:
             finite = jnp.isfinite(loss)
             for g in jax.tree.leaves(grads):

@@ -63,26 +63,43 @@ def _evaluate_img(dets, gts, area_rng, max_dets):
     ious = box_iou_xywh(d_boxes, g_boxes, g_crowd) if nd and ng else \
         np.zeros((nd, ng))
 
+    # Greedy matching, vectorized over the T thresholds (the det loop is
+    # inherently sequential).  Semantics pinned to pycocotools
+    # evaluateImg by tests/test_coco_eval_oracle.py:
+    #   * gts sorted non-ignored-first; a det first takes the best
+    #     available non-ignored gt, else the best available ignored one
+    #     (the `break` in the reference loop).
+    #   * "available" = unmatched, or crowd (crowd absorbs many dets).
+    #   * ties on IoU pick the LAST gt in sort order (the loop updates on
+    #     iou >= current best).
     dt_m = np.zeros((t, nd), np.int64) - 1       # matched gt index or -1
-    gt_m = np.zeros((t, ng), np.int64) - 1
-    for ti, thr in enumerate(IOU_THRS):
-        for di in range(nd):
-            best_iou = min(thr, 1 - 1e-10)
-            best = -1
-            for gi in range(ng):
-                if gt_m[ti, gi] >= 0 and not g_crowd[gi]:
-                    continue
-                # non-ignored gts exhausted -> can still match ignored ones,
-                # but stop improving once we'd only switch to ignored
-                if best > -1 and not g_ignore[best] and g_ignore[gi]:
-                    break
-                if ious[di, gi] < best_iou:
-                    continue
-                best_iou = ious[di, gi]
-                best = gi
-            if best >= 0:
-                dt_m[ti, di] = best
-                gt_m[ti, best] = di
+    thr_eff = np.minimum(IOU_THRS, 1 - 1e-10)[:, None]       # [T,1]
+    nni = int((~g_ignore).sum())                 # non-ignored prefix length
+    gt_taken = np.zeros((t, ng), bool)
+    t_idx = np.arange(t)
+
+    def _last_argmax(cand, vals_row):
+        """Per threshold row: last index of the max value among candidates,
+        -1 if no candidate.  cand [T,W], vals_row [W]."""
+        w = cand.shape[1]
+        if w == 0:
+            return np.zeros((t,), bool), np.zeros((t,), np.int64)
+        vals = np.where(cand, vals_row[None, :], -1.0)
+        rev_best = np.argmax(vals[:, ::-1], axis=1)
+        best = w - 1 - rev_best
+        return cand.any(axis=1), best
+
+    for di in range(nd):
+        iou_row = ious[di]
+        cand = ((~gt_taken) | g_crowd[None, :]) \
+            & (iou_row[None, :] >= thr_eff)                   # [T,G]
+        any_ni, best_ni = _last_argmax(cand[:, :nni], iou_row[:nni])
+        any_ig, best_ig = _last_argmax(cand[:, nni:], iou_row[nni:])
+        best = np.where(any_ni, best_ni,
+                        np.where(any_ig, best_ig + nni, -1))
+        sel = best >= 0
+        dt_m[sel, di] = best[sel]
+        gt_taken[t_idx[sel], best[sel]] = True
 
     d_area = d_boxes[:, 2] * d_boxes[:, 3]
     d_out_of_range = (d_area < area_rng[0]) | (d_area > area_rng[1])

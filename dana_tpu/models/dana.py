@@ -74,6 +74,9 @@ class DanaConfig:
     bbox_normalize_means: tuple = (0.0, 0.0, 0.0, 0.0)
     bbox_normalize_stds: tuple = (0.1, 0.1, 0.2, 0.2)
     compute_dtype: Any = jnp.float32
+    # FGN head BNs in batch-stats mode at train time (cfg.TRAIN.BN_TRAIN;
+    # reference fgn.py head bn1/bn2 are ordinary nn.BatchNorm2d that train)
+    bn_train: bool = False
     # fused Pallas CISA attention core (auto-disabled off-TPU)
     use_pallas_attention: bool = True
     # rematerialize backbone activations in the backward pass (trade
@@ -252,7 +255,10 @@ def rcnn_head(params, config: DanaConfig, pooled_feat, support_pooled,
     bbox_pred = L.linear(fc7.reshape(b, r, -1), params['RCNN_bbox_pred'])
 
     q_tokens = pooled_feat.reshape(b, r, ph * pw, c)
-    s_tokens = _support_tokens(support_pooled, pe_table)
+    # PE on BOTH roi and support tokens is gated by pos_encoding
+    # (reference dana.py:257-259).
+    s_tokens = _support_tokens(
+        support_pooled, pe_table if config.pos_encoding else None)
     if config.pos_encoding:
         q_tokens = q_tokens + pe_table[:ph * pw]
     # rois attend supports: q [B,R,49,1024], s [B,shot,49,1024] -> broadcast
@@ -355,6 +361,12 @@ def forward(params, config: DanaConfig, im_data, im_info, support_ims=None,
     pos_feat = sup_feat[:, :config.n_shot]
     pos_pooled = sup_pooled[:, :config.n_shot]
     if training:
+        # n_way=1 would make neg_pooled [B,0,...]; its shot-mean is NaN and
+        # skip_nonfinite then silently no-ops every update. Fail loudly.
+        assert config.n_way >= 2, (
+            'training requires n_way >= 2 (a negative support way feeds the '
+            'hard-mined loss, reference dana.py:189-215); got n_way='
+            f'{config.n_way}')
         neg_pooled = sup_pooled[:, config.n_shot:config.n_way * config.n_shot]
 
     rpn_pe = jnp.asarray(positional_encoding(20 * 20, config.feat_dim), cdt)

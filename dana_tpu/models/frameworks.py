@@ -306,9 +306,11 @@ def fgn_forward(params, config: DanaConfig, im_data, im_info, support_ims,
                 training=False, gt_boxes=None, rng=None):
     """FGN (fgn.py:50-165): global support vector (AvgPool 20) gates the
     base features before the RPN; cls head = conv/bn stack on the concat
-    of pooled support and roi features.  Head BNs use stored running
-    stats (inference semantics; the reference trains them in batch mode —
-    noted deviation, stats are never updated here)."""
+    of pooled support and roi features.  With config.bn_train
+    (cfg.TRAIN.BN_TRAIN) the head BNs normalize with batch stats at train
+    time and emit running-stat updates in out['param_updates'] (the
+    reference's bn1/bn2 are ordinary train-mode nn.BatchNorm2d,
+    fgn.py:145-165); otherwise stored-stats inference mode."""
     cdt = config.compute_dtype
     base_feat = resnet.base_forward(im_data.astype(cdt), params['backbone'],
                                     config.arch)
@@ -324,6 +326,18 @@ def fgn_forward(params, config: DanaConfig, im_data, im_info, support_ims,
     out = trunk(params, config, base_feat, gated, im_info, gt_boxes,
                 training, rng)
 
+    bn_train = training and config.bn_train
+    # sequential running-stat state across the pos + neg head calls
+    # (torch updates the same buffers twice per step)
+    bn_state = {'bn1': dict(params['bn1']), 'bn2': dict(params['bn2'])}
+
+    def bn(x, name):
+        if bn_train:
+            y, new_stats = L.batchnorm_train(x, bn_state[name])
+            bn_state[name].update(new_stats)
+            return y
+        return L.frozen_batchnorm(x, params[name])
+
     def head(pooled, sup_pooled):
         bbox_pred = L.linear(_head_to_tail(params, config, pooled),
                              params['RCNN_bbox_pred'])
@@ -332,17 +346,20 @@ def fgn_forward(params, config: DanaConfig, im_data, im_info, support_ims,
                                (b, r, *sup_pooled.shape[1:]))
         x = jnp.concatenate([s_b, pooled], axis=-1)        # [B,R,7,7,2048]
         x = x.reshape(b * r, *x.shape[2:])
-        x = L.relu(L.frozen_batchnorm(
-            L.conv2d(x, params['cls_conv1'], padding='VALID'),
-            params['bn1']))
-        x = L.relu(L.frozen_batchnorm(
-            L.conv2d(x, params['cls_conv2'], padding='VALID'),
-            params['bn2']))
+        x = L.relu(bn(L.conv2d(x, params['cls_conv1'], padding='VALID'),
+                      'bn1'))
+        x = L.relu(bn(L.conv2d(x, params['cls_conv2'], padding='VALID'),
+                      'bn2'))
         score = L.linear(x.reshape(b, r, -1), params['RCNN_cls_score'])
         return bbox_pred, jax.nn.softmax(score, -1), score
 
     out = _finish_episodic(out, config, head, out['pooled'], pos_rcnn,
                            neg_rcnn if training else None, training)
+    if bn_train:
+        out['param_updates'] = {
+            name: {k: bn_state[name][k]
+                   for k in ('running_mean', 'running_var')}
+            for name in ('bn1', 'bn2')}
     return out
 
 

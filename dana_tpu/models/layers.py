@@ -132,6 +132,33 @@ def init_conv(rng: np.random.Generator, kh, kw, cin, cout, bias=False,
     return p
 
 
+def batchnorm_train(x, params, momentum=0.1, eps=1e-5):
+    """BatchNorm in TRAIN mode (torch BatchNorm2d semantics): normalize
+    with the batch's biased mean/var over (N, H, W), update running stats
+    with momentum (running_var gets the UNBIASED batch variance).
+
+    x: [N, H, W, C].  Returns (y, new_stats) where new_stats carries the
+    updated running_mean/running_var to merge back into the param tree
+    (functional equivalent of torch's in-place buffer update)."""
+    xf = x.astype(jnp.float32)
+    axes = tuple(range(x.ndim - 1))
+    n = 1
+    for a in axes:
+        n *= x.shape[a]
+    mean = xf.mean(axis=axes)
+    var = ((xf - mean) ** 2).mean(axis=axes)           # biased
+    inv = jax.lax.rsqrt(var + eps)
+    y = (xf - mean) * inv * params['weight'] + params['bias']
+    unbiased = var * (n / max(n - 1, 1))
+    new_stats = {
+        'running_mean': ((1 - momentum) * params['running_mean']
+                         + momentum * mean),
+        'running_var': ((1 - momentum) * params['running_var']
+                        + momentum * unbiased),
+    }
+    return y.astype(x.dtype), new_stats
+
+
 def init_bn(c):
     return {'weight': np.ones((c,), np.float32),
             'bias': np.zeros((c,), np.float32),

@@ -28,10 +28,21 @@ _BASE_MAP = {
 }
 
 
-def load_state_dict(path: str) -> dict:
-    """Load a .pth file -> flat {name: np.ndarray} state dict."""
+def load_state_dict(path: str, allow_pickle: bool = False):
+    """Load a .pth file -> (flat {name: np.ndarray} state dict, extra dict).
+
+    `extra` carries the non-weight payload of full train.py checkpoints
+    (epoch / optimizer / pooling_mode).  Tries the safe weights_only
+    loader first; third-party .pth files that need full unpickling require
+    explicit opt-in via allow_pickle=True.
+    """
     import torch
-    ckpt = torch.load(path, map_location='cpu', weights_only=False)
+    try:
+        ckpt = torch.load(path, map_location='cpu', weights_only=True)
+    except Exception:
+        if not allow_pickle:
+            raise
+        ckpt = torch.load(path, map_location='cpu', weights_only=False)
     extra = {}
     if isinstance(ckpt, dict) and 'model' in ckpt:
         extra = {k: v for k, v in ckpt.items() if k != 'model'}
@@ -68,15 +79,15 @@ def convert_dana_state_dict(state: dict) -> dict:
     return out
 
 
-def load_dana_checkpoint(path: str):
+def load_dana_checkpoint(path: str, allow_pickle: bool = False):
     """-> (param_tree, extra) where extra carries epoch/pooling_mode."""
-    state, extra = load_state_dict(path)
+    state, extra = load_state_dict(path, allow_pickle=allow_pickle)
     return convert_dana_state_dict(state), extra
 
 
-def load_caffe_resnet(path: str) -> dict:
+def load_caffe_resnet(path: str, allow_pickle: bool = False) -> dict:
     """Backbone-only checkpoint (data/pretrained_model/resnet50_caffe.pth,
     dana.py:330,339-341) -> backbone param subtree."""
-    state, _ = load_state_dict(path)
+    state, _ = load_state_dict(path, allow_pickle=allow_pickle)
     from dana_tpu.models.resnet import convert_torch_state_dict
     return convert_torch_state_dict(state)

@@ -45,3 +45,56 @@ def test_pth_import(tmp_path):
 def test_checkpoint_path_layout():
     p = ck.checkpoint_path('models', 4, 299)
     assert p.endswith('models/train/checkpoints/model_4_299.dkpt')
+
+
+def test_resume_bitwise_continuation(tmp_path):
+    """save -> resume (restore_optimizer) -> step must bitwise-match an
+    uninterrupted run (reference --r restores optimizer state,
+    train.py:96-99)."""
+    import jax
+    from dana_tpu.engine import optim
+    from dana_tpu.engine import train as train_engine
+
+    params = {'lin': {'weight': jnp.arange(6.0).reshape(2, 3) / 7.0,
+                      'bias': jnp.ones((3,)) * 0.3}}
+
+    def fake_grads(p, i):
+        return jax.tree.map(lambda x: 0.1 * x + 0.01 * i, p)
+
+    def step(state, i):
+        new_p, new_opt = optim.sgd_update(
+            state.params, fake_grads(state.params, i), state.opt,
+            momentum=0.9, weight_decay=5e-4, double_bias=True)
+        return train_engine.TrainState(new_p, new_opt, state.step + 1)
+
+    # uninterrupted: 5 steps
+    ref = train_engine.create_train_state(params, lr=0.05)
+    for i in range(5):
+        ref = step(ref, i)
+
+    # interrupted at step 3: save, reload, continue
+    st = train_engine.create_train_state(params, lr=0.05)
+    for i in range(3):
+        st = step(st, i)
+    path = str(tmp_path / 'model_1_2.dkpt')
+    ck.save_checkpoint(path, jax.device_get(st.params),
+                       opt_state=jax.device_get(st.opt), epoch=1, step=2,
+                       lr=0.05)
+    payload = ck.load_checkpoint(path)
+    st2 = train_engine.create_train_state(
+        jax.tree.map(jnp.asarray, payload['model']), lr=payload['lr'])
+    st2 = train_engine.restore_optimizer(st2, payload['optimizer'])
+    for i in range(3, 5):
+        st2 = step(st2, i)
+
+    for a, b in zip(jax.tree.leaves(ref.params), jax.tree.leaves(st2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(ref.opt.velocity),
+                    jax.tree.leaves(st2.opt.velocity)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_restore_optimizer_none_is_noop():
+    from dana_tpu.engine import train as train_engine
+    st = train_engine.create_train_state({'w': jnp.ones(3)}, lr=0.1)
+    assert train_engine.restore_optimizer(st, None) is st

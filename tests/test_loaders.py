@@ -82,3 +82,72 @@ def test_multiway_loader(synth):
     assert len(item['selected_ways']) == 3
     present = int(roidb[0]['gt_classes'][0])
     assert present in item['selected_ways']
+
+
+def test_empty_pool_class_excluded_and_loud(synth):
+    """Episodes whose only class has an empty support pool are excluded by
+    valid_indices/EpisodicBatcher; direct access fails loudly (VERDICT r1:
+    real-COCO tail classes crash _sample_supports otherwise)."""
+    imdb_, roidb = synth
+    loader = FewShotLoader(roidb, imdb_.num_classes, num_way=2, num_shot=2,
+                           seed=1)
+    # blow away one class's pool; find an image whose ONLY class is that one
+    victim = None
+    for i, e in enumerate(roidb):
+        cls = {int(c) for c in e['gt_classes'] if c != 0}
+        if len(cls) == 1:
+            victim = (i, cls.pop())
+            break
+    assert victim is not None
+    idx, vcls = victim
+    loader.support_db[vcls] = []
+    assert idx not in loader.valid_indices()
+    with pytest.raises(ValueError):
+        loader[idx]
+    with pytest.raises(ValueError):
+        loader._sample_supports(vcls, np.random.default_rng(0))
+    # batcher never yields the excluded index
+    batcher = EpisodicBatcher(loader, 2, shuffle=False, seed=0,
+                              drop_last=False)
+    for b in batcher._index_batches():
+        assert idx not in b
+
+
+def test_oracle_loader_returns_gt(synth):
+    from dana_tpu.data.inference_loader import OracleLoader
+    imdb_, roidb = synth
+    loader = OracleLoader(roidb, seed=7)
+    item = loader[0]
+    n = int(item['num_boxes'])
+    assert n == min(len(roidb[0]['boxes']), loader.max_num_box) and n > 0
+    gt = item['gt_boxes']
+    # all-class labels preserved (no remap to 1)
+    assert set(gt[:n, 4].astype(int)) <= set(
+        int(c) for c in roidb[0]['gt_classes'])
+    assert (gt[n:] == 0).all()
+    assert 'support_ims' not in item          # query-only protocol
+    # deterministic shuffle
+    item2 = loader[0]
+    np.testing.assert_array_equal(item['gt_boxes'], item2['gt_boxes'])
+
+
+def test_allcls_loader_lazy_resample(synth):
+    imdb_, roidb = synth
+    loader = ALLCLSFSLoader(roidb, roidb, imdb_.classes, num_shot=2, seed=3)
+    a1 = loader[0]
+    a2 = loader[0]
+    np.testing.assert_array_equal(a1['support_ims'], a2['support_ims'])
+    # per-item reseed -> different items draw (almost surely) different sets
+    b = loader[1]
+    assert a1['support_ims'].shape == (2, 320, 320, 3)
+    assert b['support_ims'].shape == (2, 320, 320, 3)
+    # laziness: get() decodes only the requested class's shots
+    calls = []
+    orig = loader.pool.get
+
+    def counting_get(cls_ind):
+        calls.append(cls_ind)
+        return orig(cls_ind)
+    loader.pool.get = counting_get
+    loader[2]
+    assert len(calls) == 1        # one class decoded, not num_classes

@@ -29,12 +29,17 @@ from dana_tpu.utils.torch_import import convert_dana_state_dict  # noqa: E402
 from test_backbone import TorchBottleneck, _randomize_bn  # noqa: E402
 
 D = 1024
-REDUCE = 64     # small reduce dim for test speed; same math as 256
+REDUCE = 64     # small reduce dim for the fast variant; same math as 256
 
 
-def _make_resnet50_base_top(gen):
+def _make_resnet50_base_top(gen, tame=True):
     """torch conv1..layer3 (RCNN_base) + layer4 (RCNN_top), real resnet50
-    block counts so the converted tree matches arch='resnet50'."""
+    block counts so the converted tree matches arch='resnet50'.
+
+    tame=False leaves conv weights at init scale and gives the BNs
+    Caffe-magnitude running stats (the released resnet50_caffe.pth has
+    |mean| up to ~hundreds and var up to ~1e4) — the full-width parity
+    variant runs with realistic numerics."""
     mods = {}
     mods['conv1'] = nn.Conv2d(3, 64, 7, 2, 3, bias=False)
     mods['bn1'] = nn.BatchNorm2d(64)
@@ -60,9 +65,19 @@ def _make_resnet50_base_top(gen):
     model.maxpool = nn.MaxPool2d(3, 2, padding=0, ceil_mode=True)
     with torch.no_grad():
         _randomize_bn(model, gen)
-        for m in model.modules():
-            if isinstance(m, nn.Conv2d):
-                m.weight.data.mul_(0.5)   # tame activations for parity
+        if tame:
+            for m in model.modules():
+                if isinstance(m, nn.Conv2d):
+                    m.weight.data.mul_(0.5)   # tame activations for parity
+        else:
+            for m in model.modules():
+                if isinstance(m, nn.BatchNorm2d):
+                    # Caffe-scale stats: large means/vars like the real
+                    # resnet50_caffe.pth (normalizes activations back down)
+                    c = m.running_mean.numel()
+                    m.running_mean.copy_(torch.randn(c, generator=gen) * 30)
+                    m.running_var.copy_(
+                        torch.rand(c, generator=gen) * 400 + 1.0)
     model.eval()
     return model
 
@@ -70,13 +85,14 @@ def _make_resnet50_base_top(gen):
 class TorchDanaHeads(nn.Module):
     """The reference DAnA attention/head modules with original names."""
 
-    def __init__(self, gen):
+    def __init__(self, gen, reduce=REDUCE):
         super().__init__()
-        self.rpn_adapt_q_layer = nn.Linear(D, REDUCE)
-        self.rpn_adapt_k_layer = nn.Linear(D, REDUCE)
+        self.reduce = reduce
+        self.rpn_adapt_q_layer = nn.Linear(D, reduce)
+        self.rpn_adapt_k_layer = nn.Linear(D, reduce)
         self.rpn_unary_layer = nn.Linear(D, 1)
-        self.rcnn_adapt_q_layer = nn.Linear(D, REDUCE)
-        self.rcnn_adapt_k_layer = nn.Linear(D, REDUCE)
+        self.rcnn_adapt_q_layer = nn.Linear(D, reduce)
+        self.rcnn_adapt_k_layer = nn.Linear(D, reduce)
         self.rcnn_unary_layer = nn.Linear(D, 1)
         self.rcnn_transform_layer = nn.Linear(2 * D, 64)
         self.RCNN_bbox_pred = nn.Linear(2048, 4)
@@ -104,7 +120,8 @@ def _pe(max_len):
     return pe.unsqueeze(0)
 
 
-def _torch_cisa(q_mat, s_mats, q_layer, k_layer, unary_layer, gamma=0.1):
+def _torch_cisa(q_mat, s_mats, q_layer, k_layer, unary_layer, gamma=0.1,
+                reduce=REDUCE):
     """dana.py:118-151 (no BA block, PE applied by caller)."""
     q = q_layer(q_mat)
     q = q - q.mean(1, keepdim=True)
@@ -112,7 +129,7 @@ def _torch_cisa(q_mat, s_mats, q_layer, k_layer, unary_layer, gamma=0.1):
     for s in s_mats:
         k = k_layer(s)
         k = k - k.mean(1, keepdim=True)
-        w = torch.bmm(q, k.transpose(1, 2)) / math.sqrt(REDUCE)
+        w = torch.bmm(q, k.transpose(1, 2)) / math.sqrt(reduce)
         w = F.softmax(w, dim=2)
         u = F.softmax(unary_layer(s), dim=1)
         w = w + gamma * u.transpose(1, 2)
@@ -120,11 +137,20 @@ def _torch_cisa(q_mat, s_mats, q_layer, k_layer, unary_layer, gamma=0.1):
     return torch.stack(feats, 0).mean(0)
 
 
-@pytest.fixture(scope='module')
-def setup():
+# Two parity regimes: the fast reduced replica, and production widths
+# (reduce_dim 256) with UNTAMED Caffe-scale BN stats, exported through the
+# exact {'model','epoch','pooling_mode'} wrapper the reference train.py
+# writes (train.py:183-189) and ingested by our real checkpoint loader —
+# the full last mile of the cisa_coco_ft30 import path.
+@pytest.fixture(scope='module',
+                params=[dict(reduce=64, tame=True, wrapper=False),
+                        dict(reduce=256, tame=False, wrapper=True)],
+                ids=['reduced-tamed', 'fullwidth-caffe-ckpt'])
+def setup(request, tmp_path_factory):
+    p = request.param
     gen = torch.Generator().manual_seed(7)
-    base = _make_resnet50_base_top(gen)
-    heads = TorchDanaHeads(gen)
+    base = _make_resnet50_base_top(gen, tame=p['tame'])
+    heads = TorchDanaHeads(gen, reduce=p['reduce'])
 
     # reference-style checkpoint keys
     sd = {}
@@ -135,12 +161,23 @@ def setup():
         root = k.split('.')[0]
         sd[rename[root] + k[len(root):]] = v
     sd.update(heads.state_dict())
-    params = to_jnp(convert_dana_state_dict(
-        {k: v.numpy() for k, v in sd.items()}))
+
+    if p['wrapper']:
+        from dana_tpu.utils import checkpoint as ckpt_lib
+        path = str(tmp_path_factory.mktemp('ck') / 'model_4_299.pth')
+        torch.save({'model': sd, 'epoch': 4, 'pooling_mode': 'align',
+                    'optimizer': {}}, path)
+        payload = ckpt_lib.load_checkpoint(path)
+        assert payload['epoch'] == 4
+        assert payload['pooling_mode'] == 'align'
+        params = to_jnp(payload['model'])
+    else:
+        params = to_jnp(convert_dana_state_dict(
+            {k: v.numpy() for k, v in sd.items()}))
 
     config = dana.DanaConfig(
-        n_way=2, n_shot=2, rpn_reduce_dim=REDUCE, rcnn_reduce_dim=REDUCE,
-        use_pallas_attention=False)
+        n_way=2, n_shot=2, rpn_reduce_dim=p['reduce'],
+        rcnn_reduce_dim=p['reduce'], use_pallas_attention=False)
     gen2 = torch.Generator().manual_seed(11)
     query = torch.randn(1, 3, 64, 80, generator=gen2)
     supports = torch.randn(2, 3, 320, 320, generator=gen2)
@@ -160,7 +197,8 @@ def test_correlation_and_rpn_parity(setup):
         pe400 = _pe(400)
         s_mats = [support_mat[i] + pe400 for i in range(2)]
         dense = _torch_cisa(query_mat, s_mats, heads.rpn_adapt_q_layer,
-                            heads.rpn_adapt_k_layer, heads.rpn_unary_layer)
+                            heads.rpn_adapt_k_layer, heads.rpn_unary_layer,
+                            reduce=heads.reduce)
         dense = dense.transpose(1, 2).view(1, D, fh, fw)
         corr = torch.cat([base_feat, dense], 1)
         rpn_conv = F.relu(heads.RCNN_rpn.RPN_Conv(corr))
@@ -208,7 +246,7 @@ def test_rcnn_head_parity(setup):
         s_mats = [target[:, i] + pe49 for i in range(2)]
         dense = _torch_cisa(q_mat, s_mats, heads.rcnn_adapt_q_layer,
                             heads.rcnn_adapt_k_layer,
-                            heads.rcnn_unary_layer)
+                            heads.rcnn_unary_layer, reduce=heads.reduce)
         corr = torch.cat([q_mat, dense], 2)
         corr = heads.rcnn_transform_layer(corr)
         x = F.relu(heads.output_score_layer.linear1(

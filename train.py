@@ -54,6 +54,7 @@ def main(argv=None):
     lr = args.lr
 
     start_epoch = args.start_epoch
+    resume_opt = None
     if args.resume:
         path = args.checkpath or ckpt_lib.checkpoint_path(
             args.load_dir, args.checkepoch, args.checkpoint)
@@ -64,6 +65,7 @@ def main(argv=None):
         lr = payload.get('lr') or lr
         start_epoch = payload.get('epoch', 0) + 1
         cfg.POOLING_MODE = payload.get('pooling_mode', cfg.POOLING_MODE)
+        resume_opt = payload.get('optimizer')
         print(f'resumed from {path} (epoch {payload.get("epoch")})')
 
     trainable = optim.trainable_mask(params,
@@ -80,6 +82,11 @@ def main(argv=None):
                                                   **step_kw) \
         if args.steps_per_call > 1 else None
     state = train_engine.create_train_state(params, lr)
+    if resume_opt is not None:
+        # restore momentum velocity across resume (reference train.py:96-99
+        # restores the full optimizer state dict)
+        state = train_engine.restore_optimizer(state, resume_opt)
+        print('restored optimizer state (momentum velocity)')
 
     mesh = None
     if args.mGPUs and len(jax.devices()) > 1:
@@ -95,8 +102,10 @@ def main(argv=None):
     rng = jax.random.PRNGKey(args.seed)
     global_step = 0
     for epoch in range(start_epoch, args.max_epochs + 1):
-        # step lr decay (reference train.py:118-120)
-        if epoch > 1 and (epoch - 1) % args.lr_decay_step == 0:
+        # step lr decay — exact reference cadence: decay at every epoch
+        # divisible by lr_decay_step+1 (reference train.py:118-120; step=10
+        # decays at epochs 11, 22, 33, ...)
+        if epoch % (args.lr_decay_step + 1) == 0:
             lr *= args.lr_decay_gamma
             state = state._replace(opt=state.opt._replace(
                 lr=jnp.asarray(lr, jnp.float32)))

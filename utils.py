@@ -173,6 +173,7 @@ def get_model(name, pretrained=True, use_BA_block=True, way=2, shot=3,
         rpn_batchsize=cfg.TRAIN.RPN_BATCHSIZE,
         bbox_normalize_means=tuple(cfg.TRAIN.BBOX_NORMALIZE_MEANS),
         bbox_normalize_stds=tuple(cfg.TRAIN.BBOX_NORMALIZE_STDS),
+        bn_train=cfg.TRAIN.BN_TRAIN,
     )
     if name == 'DAnA':
         config = dana.DanaConfig(attention_type='concat',
