@@ -89,21 +89,40 @@ def _register_all():
         _register(f'ycb2d_{split}', lambda s=split: ycb2d(s))
 
     # visual genome / imagenet (vg.py, imagenet.py — unused by any FSOD
-    # flow, SURVEY §2.5).  Ingestion is canonicalized on COCO-format
-    # annotations: point DATA_DIR/{vg,imagenet}/annotations/<split>.json
-    # at a converted file (the reference's raw scene-graph/XML loaders
-    # were dataset-prep scripts, not part of the training path).
+    # flow, SURVEY §2.5).  Native parsers (dana_tpu/data/{vg,imagenet}.py:
+    # scene-graph XML / devkit synsets) are used when the reference's
+    # directory layout exists; otherwise ingestion falls back to
+    # COCO-format annotations at DATA_DIR/{vg,imagenet}/annotations/
+    # <split>.json (a converted file).
     def generic(root, split):
         from dana_tpu.utils.config import cfg
         d = osp.join(cfg.DATA_DIR, root)
         return CocoFormatDataset(
             f'{root}_{split}', osp.join(d, 'annotations', f'{split}.json'),
             osp.join(d, 'images'))
+
+    def vg_ds(version, split):
+        from dana_tpu.utils.config import cfg
+        if osp.isdir(osp.join(cfg.DATA_DIR, 'genome')):
+            from dana_tpu.data.vg import vg
+            return vg(version, split)
+        return generic('vg', split)
+
+    def imagenet_ds(split):
+        from dana_tpu.utils.config import cfg
+        devkit = osp.join(cfg.DATA_DIR, 'imagenet', 'ILSVRC_devkit')
+        data = osp.join(cfg.DATA_DIR, 'imagenet', 'ILSVRC')
+        if osp.isdir(devkit):
+            from dana_tpu.data.imagenet import imagenet
+            return imagenet(split, devkit, data)
+        return generic('imagenet', split)
+
     for split in ['train', 'val', 'minival', 'minitrain', 'smalltrain',
                   'smallval']:
-        _register(f'vg_150-50-50_{split}', lambda s=split: generic('vg', s))
+        _register(f'vg_150-50-50_{split}',
+                  lambda s=split: vg_ds('150-50-50', s))
     for split in ['train', 'val', 'trainval1', 'trainval2', 'test']:
-        _register(f'imagenet_{split}', lambda s=split: generic('imagenet', s))
+        _register(f'imagenet_{split}', lambda s=split: imagenet_ds(s))
 
     # pascal voc (pascal_voc.py)
     def voc(year, split):
