@@ -159,6 +159,55 @@ def make_mesh(devices=None, axis: str = 'data') -> Mesh:
     return Mesh(np.array(devices), (axis,))
 
 
+def make_mesh_2d(devices=None, data: int = 0, model: int = 1) -> Mesh:
+    """2-D (data, model) mesh for combined data+tensor parallelism.
+
+    `data`/`model` give the axis extents (0 = infer from device count).
+    The reference has no multi-GPU story beyond DataParallel
+    (train.py:104-105); the model axis is our TPU-native extension for
+    scaling the wide heads — XLA inserts the all-gathers/reduce-scatters
+    implied by the param shardings of shard_params_tp.
+    """
+    import numpy as np
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if not model:
+        model = 2 if n % 2 == 0 and n >= 4 else 1
+    if not data:
+        data = n // model
+    assert data * model == n, (data, model, n)
+    return Mesh(np.array(devices).reshape(data, model), ('data', 'model'))
+
+
+def _tp_spec(path_str: str, leaf) -> P:
+    """PartitionSpec for one param leaf under tensor parallelism.
+
+    Column-sharding (output features over 'model') for the wide
+    projection/conv weights; everything else replicated.  XLA's sharding
+    propagation shards the matching activations and inserts the
+    collectives.
+    """
+    tp_cols = ('rpn_adapt_q_layer', 'rpn_adapt_k_layer',
+               'rcnn_adapt_q_layer', 'rcnn_adapt_k_layer',
+               'RPN_Conv', 'linear1')
+    if any(f"['{name}']" in path_str for name in tp_cols) \
+            and path_str.endswith("['weight']") and leaf.ndim >= 2 \
+            and leaf.shape[-1] % 2 == 0:
+        return P(*([None] * (leaf.ndim - 1) + ['model']))
+    return P()
+
+
+def shard_params_tp(params, mesh: Mesh):
+    """Place a param tree with TP column-sharding over mesh axis 'model'
+    (biases and small/irregular leaves replicated)."""
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+    out = []
+    for path, leaf in flat:
+        spec = _tp_spec(jax.tree_util.keystr(path), leaf)
+        out.append(jax.device_put(leaf, NamedSharding(mesh, spec)))
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
 def shard_batch(batch, mesh: Mesh, axis: str = 'data'):
     """Place a host batch with leading batch axis sharded over the mesh."""
     sharding = NamedSharding(mesh, P(axis))
@@ -168,3 +217,15 @@ def shard_batch(batch, mesh: Mesh, axis: str = 'data'):
 def replicate(tree, mesh: Mesh):
     sharding = NamedSharding(mesh, P())
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def shard_state_tp(state: TrainState, mesh: Mesh) -> TrainState:
+    """TrainState placement for a 2-D (data, model) mesh: params and
+    momentum velocity TP-sharded consistently, scalars replicated."""
+    params = shard_params_tp(state.params, mesh)
+    vel = shard_params_tp(state.opt.velocity, mesh)
+    rep = NamedSharding(mesh, P())
+    opt = state.opt._replace(
+        velocity=vel, lr=jax.device_put(state.opt.lr, rep))
+    return TrainState(params=params, opt=opt,
+                      step=jax.device_put(state.step, rep))

@@ -187,20 +187,28 @@ def _cisa_attention(q_tokens, s_tokens, params, prefix, reduce_dim,
     """CISA block: query-conditioned support aggregation (dana.py:120-151).
 
     Args:
-      q_tokens: [..., Nq, C] query tokens (PE already applied if used).
-      s_tokens: [..., shot, Ns, C] support tokens (PE applied).
+      q_tokens: [B, (R,) Nq, C] query tokens (PE already applied if used);
+        the optional R axis carries per-RoI token groups (rcnn path) —
+        q centering is per group over its Nq tokens, matching the
+        reference's per-RoI `q_matrix.mean(1)` (dana.py:267).
+      s_tokens: [B, shot, Ns, C] support tokens (PE applied) — NOT
+        broadcast per RoI: k/unary projections happen once per
+        (batch, shot) (the reference repeats the support per RoI,
+        dana.py:255, but projects the identical values; computing them
+        once is numerically the same and ~R x cheaper).
       prefix: 'rpn' | 'rcnn' selects the q/k/unary param names.
-    Returns [..., Nq, C]: attended support feature, mean over shots.
+    Returns [B, (R,) Nq, C]: attended support feature, mean over shots.
 
-    On TPU the softmax(qk^T)+unary @ v core runs as the fused Pallas
-    kernel (ops/cisa_attention.py); the projections stay XLA matmuls.
+    On TPU the softmax(qk^T)+unary @ v core with the in-kernel shot mean
+    runs as a fused Pallas kernel (ops/cisa_attention.py); the
+    projections stay XLA matmuls.
     """
     if se_params is not None:
         # BA block (semantic_enhance, dana.py:133-137): spatial softmax ->
         # global channel vector -> leaky_relu residual
-        w = L.linear(s_tokens, se_params)                       # [...,shot,Ns,1]
+        w = L.linear(s_tokens, se_params)                       # [B,shot,Ns,1]
         w = jax.nn.softmax(w, axis=-2)
-        glob = jnp.sum(w * s_tokens, axis=-2, keepdims=True)    # [...,shot,1,C]
+        glob = jnp.sum(w * s_tokens, axis=-2, keepdims=True)    # [B,shot,1,C]
         s_tokens = s_tokens + gamma * L.leaky_relu(glob)
 
     q = L.linear(q_tokens, params[f'{prefix}_adapt_q_layer'])
@@ -208,28 +216,23 @@ def _cisa_attention(q_tokens, s_tokens, params, prefix, reduce_dim,
     k = L.linear(s_tokens, params[f'{prefix}_adapt_k_layer'])
     k = k - k.mean(axis=-2, keepdims=True)                      # center over Ns
 
-    unary = L.linear(s_tokens, params[f'{prefix}_unary_layer'])  # [...,shot,Ns,1]
-    unary_sm = jax.nn.softmax(unary, axis=-2)[..., 0]            # [...,shot,Ns]
+    unary = L.linear(s_tokens, params[f'{prefix}_unary_layer'])  # [B,shot,Ns,1]
+    unary_sm = jax.nn.softmax(unary, axis=-2)[..., 0]            # [B,shot,Ns]
     scale = 1.0 / math.sqrt(reduce_dim)
+
+    b, d = q.shape[0], q.shape[-1]
+    extra, nq = q.shape[1:-2], q.shape[-2]
+    c = s_tokens.shape[-1]
+    qf = q.reshape(b, -1, d)          # [B, prod(extra)*Nq, D]
 
     from dana_tpu.ops import cisa_attention as fused
     if use_fused and fused.supports_pallas():
-        shot, ns, c = s_tokens.shape[-3:]
-        nq, d = q.shape[-2:]
-        lead = q.shape[:-2]
-        g = int(np.prod(lead)) * shot if lead else shot
-        qb = jnp.broadcast_to(q[..., None, :, :], (*lead, shot, nq, d))
-        out = fused.cisa_attention(
-            qb.reshape(g, nq, d), k.reshape(g, ns, d),
-            s_tokens.reshape(g, ns, c), unary_sm.reshape(g, 1, ns),
-            scale, unary_gamma)
-        return out.reshape(*lead, shot, nq, c).mean(axis=-3)
-
-    attn = jnp.einsum('...qc,...skc->...sqk', q, k) * scale
-    attn = jax.nn.softmax(attn, axis=-1)
-    attn = attn + unary_gamma * unary_sm[..., None, :]
-    out = jnp.einsum('...sqk,...skc->...sqc', attn, s_tokens)
-    return out.mean(axis=-3)                                    # mean over shots
+        out = fused.cisa_attention_shots(qf, k, s_tokens, unary_sm,
+                                         scale, unary_gamma)
+    else:
+        out = fused.cisa_attention_shots_xla(qf, k, s_tokens, unary_sm,
+                                             scale, unary_gamma)
+    return out.reshape(b, *extra, nq, c)
 
 
 def _support_tokens(feat, pe_table):
@@ -261,19 +264,26 @@ def rcnn_head(params, config: DanaConfig, pooled_feat, support_pooled,
         support_pooled, pe_table if config.pos_encoding else None)
     if config.pos_encoding:
         q_tokens = q_tokens + pe_table[:ph * pw]
-    # rois attend supports: q [B,R,49,1024], s [B,shot,49,1024] -> broadcast
-    # the shot axis against R by inserting axes: treat batch dims (B, R)
+    # rois attend supports: q [B,R,49,1024], s [B,shot,49,1024].  The
+    # support side is NOT broadcast per RoI (the reference's repeat at
+    # dana.py:255 projects identical values R times); _cisa_attention
+    # projects k/unary once per (batch, shot) and the fused kernel
+    # shares them across all R*49 query rows.
     q = q_tokens
-    s = s_tokens[:, None]                                      # [B,1,shot,49,c]
-    s = jnp.broadcast_to(s, (b, r, *s.shape[2:]))
-    dense = _cisa_attention(q, s, params, 'rcnn', config.rcnn_reduce_dim,
-                            config.unary_gamma,
+    dense = _cisa_attention(q, s_tokens, params, 'rcnn',
+                            config.rcnn_reduce_dim, config.unary_gamma,
                             use_fused=config.use_pallas_attention)
+    tw = params['rcnn_transform_layer']
     if config.attention_type == 'concat':
-        corr = jnp.concatenate([q, dense], axis=-1)
+        # concat([q, dense]) @ W == q @ W[:C] + dense @ W[C:]: splitting
+        # the weight skips materializing the [B, R, 49, 2C] concat
+        # (~480 MB at eval shapes) — identical math, same param layout.
+        w = tw['weight'].astype(q.dtype)
+        corr = (jnp.einsum('brqc,cd->brqd', q, w[:c])
+                + jnp.einsum('brqc,cd->brqd', dense.astype(q.dtype), w[c:])
+                + tw['bias'].astype(q.dtype))                  # [B,R,49,64]
     else:
-        corr = q * dense
-    corr = L.linear(corr, params['rcnn_transform_layer'])      # [B,R,49,64]
+        corr = L.linear(q * dense, tw)
     x = corr.reshape(b, r, -1)
     x = L.relu(L.linear(x, params['output_score_layer']['linear1']))
     cls_score = L.linear(x, params['output_score_layer']['linear2'])

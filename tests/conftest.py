@@ -20,6 +20,16 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# persistent compile cache: the suite's big compiles (train steps, NMS
+# while-loops) dominate cold runtime; repeat runs load XLA:CPU AOT results
+# instead (same mechanism __graft_entry__'s dryrun uses)
+try:
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/jax_dana_tests"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
 import pytest  # noqa: E402
 
 

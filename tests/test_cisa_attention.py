@@ -39,6 +39,57 @@ def test_fused_blocking_pads_correctly():
                                rtol=2e-5, atol=2e-5)
 
 
+def _inputs_shots(g=2, s=3, nq=70, ns=16, d=32, c=64, seed=3):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 4)
+    q = jax.random.normal(ks[0], (g, nq, d))
+    k = jax.random.normal(ks[1], (g, s, ns, d))
+    v = jax.random.normal(ks[2], (g, s, ns, c))
+    u = jax.nn.softmax(jax.random.normal(ks[3], (g, s, ns)), axis=-1)
+    return q, k, v, u
+
+
+def test_shot_fused_matches_xla_interpret():
+    q, k, v, u = _inputs_shots()
+    scale, gamma = 1.0 / np.sqrt(32), 0.1
+    ref = ca.cisa_attention_shots_xla(q, k, v, u, scale, gamma)
+    got = ca._fused_shots(q, k, v, u, scale, gamma, block_q=32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_shot_fused_matches_per_shot_mean():
+    """The shot-fused variant equals mean-over-shots of the original
+    single-shot kernel math (the model-level contract: reference
+    dana.py:281 stacks per-shot outputs then means)."""
+    q, k, v, u = _inputs_shots(g=2, s=4, nq=33, ns=8, d=16, c=24, seed=4)
+    scale, gamma = 0.25, 0.1
+    got = ca._fused_shots(q, k, v, u, scale, gamma, block_q=16)
+    per_shot = [
+        ca.cisa_attention_xla(q, k[:, i], v[:, i], u[:, i][:, None],
+                              scale, gamma)
+        for i in range(4)]
+    ref = jnp.stack(per_shot).mean(0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_shot_fused_vjp_grads_match():
+    q, k, v, u = _inputs_shots(g=2, s=2, nq=20, ns=8, d=16, c=24, seed=5)
+    scale, gamma = 0.25, 0.1
+
+    def loss_ref(q, k, v, u):
+        return ca.cisa_attention_shots_xla(q, k, v, u, scale, gamma).sum()
+
+    def loss_fused(q, k, v, u):
+        return ca.cisa_attention_shots(q, k, v, u, scale, gamma).sum()
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v, u)
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v, u)
+    for a, b in zip(g_ref, g_fused):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5)
+
+
 def test_custom_vjp_grads_match():
     q, k, v, u = _inputs(g=2, nq=20, ns=8, d=16, c=24, seed=2)
     scale, gamma = 0.25, 0.1
