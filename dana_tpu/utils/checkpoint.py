@@ -23,7 +23,15 @@ def _to_numpy(tree):
 
 
 def save_checkpoint(path, params, opt_state=None, epoch=0, step=0,
-                    lr=None, pooling_mode='align', extra=None):
+                    lr=None, pooling_mode='align', extra=None,
+                    backend='pickle'):
+    """Write a checkpoint.
+
+    backend='pickle' (default): single-file numpy-tree pickle.
+    backend='orbax': Orbax PyTreeCheckpointer directory at `path.odir`
+      (async-capable, sharded-array-aware saves for multi-host runs);
+      scalars/metadata ride in a sidecar `_meta` entry.
+    """
     os.makedirs(osp.dirname(path) or '.', exist_ok=True)
     payload = {
         'format': 'dana_tpu_v1',
@@ -35,13 +43,55 @@ def save_checkpoint(path, params, opt_state=None, epoch=0, step=0,
         'pooling_mode': pooling_mode,
         'extra': extra or {},
     }
+    if backend == 'orbax':
+        return _save_orbax(path, payload)
     with open(path, 'wb') as f:
         pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)
     return path
 
 
+def _orbax_dir(path):
+    return path if path.endswith('.odir') else path + '.odir'
+
+
+def _save_orbax(path, payload):
+    import orbax.checkpoint as ocp
+    d = osp.abspath(_orbax_dir(path))
+    # NamedTuple opt state -> plain dict for PyTree round-trip stability
+    opt = payload['optimizer']
+    if opt is not None and hasattr(opt, '_asdict'):
+        opt = dict(opt._asdict())
+    tree = {'model': payload['model']}
+    if opt is not None:
+        tree['optimizer'] = opt
+    meta = {k: payload[k] for k in
+            ('format', 'epoch', 'step', 'lr', 'pooling_mode', 'extra')}
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(d, {'tree': tree, 'meta': meta}, force=True)
+    return d
+
+
+def _load_orbax(path):
+    import orbax.checkpoint as ocp
+    d = osp.abspath(_orbax_dir(path))
+    with ocp.PyTreeCheckpointer() as ckptr:
+        got = ckptr.restore(d)
+    meta = got['meta']
+    out = {
+        'format': meta.get('format', 'dana_tpu_v1'),
+        'epoch': meta.get('epoch', 0), 'step': meta.get('step', 0),
+        'model': got['tree']['model'],
+        'optimizer': got['tree'].get('optimizer'),
+        'lr': meta.get('lr'), 'pooling_mode': meta.get('pooling_mode',
+                                                       'align'),
+        'extra': meta.get('extra') or {},
+    }
+    return out
+
+
 def load_checkpoint(path):
-    """Load ours (.dkpt pickle) or a reference torch .pth (converted)."""
+    """Load ours (.dkpt pickle / .odir Orbax dir) or a reference torch
+    .pth (converted)."""
     if path.endswith('.pth'):
         from dana_tpu.utils.torch_import import load_dana_checkpoint
         params, extra = load_dana_checkpoint(path)
@@ -50,6 +100,8 @@ def load_checkpoint(path):
                 'optimizer': None, 'lr': None,
                 'pooling_mode': extra.get('pooling_mode', 'align'),
                 'extra': extra}
+    if path.endswith('.odir') or osp.isdir(path):
+        return _load_orbax(path)
     with open(path, 'rb') as f:
         return pickle.load(f)
 

@@ -42,6 +42,7 @@ class FSODLogger:
         self.pixel_means = (pixel_means if pixel_means is not None
                             else cfg.PIXEL_MEANS)
         self._scalars = []
+        self._images = []
         try:
             from torch.utils.tensorboard import SummaryWriter
             self._tb = SummaryWriter(log_dir)
@@ -85,3 +86,22 @@ class FSODInferenceLogger(FSODLogger):
     def write(self, step, batch=None, predictions=None, save_im=True):
         super().write(step, {}, batch=batch, predictions=predictions,
                       save_im=save_im)
+
+    def write_attention(self, step, params, config, batch,
+                        tag='attention'):
+        """CISA RPN attention relevance overlaid on the query image
+        (models/viz.py); batch carries preprocessed im_data [B, H, W, 3]
+        and support_ims [B, n, sh, sw, 3].  Stored in memory (and TB when
+        available) so eval runs can dump what the reference only exposed
+        through notebook eyeballing."""
+        from dana_tpu.models.viz import (overlay_heatmap,
+                                         rpn_attention_relevance)
+        q = np.asarray(batch['im_data'][0])
+        sup = np.asarray(batch['support_ims'][0])
+        heat = rpn_attention_relevance(params, config, q, sup)
+        im = overlay_heatmap(_to_uint8(q, self.pixel_means), heat)
+        self._images.append((step, tag, im))
+        if self._tb is not None:
+            self._tb.add_image(tag, im, step, dataformats='HWC')
+            self._tb.flush()
+        return im

@@ -22,6 +22,37 @@ def test_roundtrip(tmp_path):
                                   np.arange(6.0).reshape(2, 3))
 
 
+def test_orbax_roundtrip(tmp_path):
+    """Orbax backend: same payload surface as the pickle path, including
+    the optimizer NamedTuple -> dict round-trip restore_optimizer
+    accepts."""
+    pytest.importorskip('orbax.checkpoint')
+    from dana_tpu.engine import optim
+    params = {'layer': {'weight': jnp.arange(6.0).reshape(2, 3),
+                        'bias': jnp.zeros((3,))}}
+    opt = optim.sgd_init(params)._replace(lr=jnp.asarray(0.02))
+    path = str(tmp_path / 'ck' / 'model_5_7.dkpt')
+    out = ck.save_checkpoint(path, params, opt_state=opt, epoch=5, step=7,
+                             lr=0.02, pooling_mode='pool',
+                             extra={'note': 'orbax'}, backend='orbax')
+    assert out.endswith('.odir')
+    payload = ck.load_checkpoint(out)
+    assert payload['epoch'] == 5 and payload['step'] == 7
+    assert payload['pooling_mode'] == 'pool'
+    assert payload['extra'] == {'note': 'orbax'}
+    np.testing.assert_array_equal(payload['model']['layer']['weight'],
+                                  np.arange(6.0).reshape(2, 3))
+    vel = payload['optimizer']['velocity']
+    np.testing.assert_array_equal(vel['layer']['weight'],
+                                  np.zeros((2, 3)))
+    # restore_optimizer consumes the dict payload
+    from dana_tpu.engine import train as train_engine
+    state = train_engine.create_train_state(params, 0.02)
+    restored = train_engine.restore_optimizer(state, payload['optimizer'])
+    np.testing.assert_array_equal(
+        np.asarray(restored.opt.velocity['layer']['bias']), np.zeros(3))
+
+
 def test_pth_import(tmp_path):
     torch = pytest.importorskip('torch')
     # reference-style checkpoint: {'model': sd, 'epoch', 'pooling_mode'}

@@ -27,7 +27,9 @@ def test_train_cli_mgpus_smoke(tmp_path, monkeypatch):
 
     import train as train_cli
     argv = [
-        '--dataset', 'synth', '--net', 'DAnA', '--backbone', 'res50',
+        # synth_test: 20 images -> 2-3 sharded steps at bs=8 (a 1-core CI
+        # box runs each episodic step in ~tens of seconds)
+        '--dataset', 'synth_test', '--net', 'DAnA', '--backbone', 'res50',
         '--mGPUs', '--bs', str(len(jax.devices())),
         '--epochs', '1', '--way', '2', '--shot', '1',
         '--disp_interval', '2', '--dlog',

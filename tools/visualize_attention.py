@@ -7,46 +7,24 @@ Usage:
       [checkpoint.dkpt|.pth]
 """
 
-import math
 import sys
 
 sys.path.insert(0, '/root/repo')
 
 import numpy as np
-import jax
-import jax.numpy as jnp
 
 
 def attention_map(params, config, query_im, support_im):
-    """-> [h, w] attention-entropy-weighted relevance of each query cell."""
+    """-> [h, w] attention relevance of each query cell (models/viz.py)."""
     from dana_tpu.data import blob
-    from dana_tpu.models import dana
-    from dana_tpu.models import layers as L
+    from dana_tpu.models.viz import rpn_attention_relevance
     from dana_tpu.utils.config import cfg
 
     q, info = blob.query_blob(query_im, cfg.PIXEL_MEANS)
     sh, sw = support_im.shape[:2]
     s = blob.support_blob(support_im, [0, 0, sw - 1, sh - 1],
                           cfg.PIXEL_MEANS)
-    base = dana.backbone_base(params, config, jnp.asarray(q)[None])
-    sfeat = dana.backbone_base(params, config, jnp.asarray(s)[None])
-    b, h, w, c = base.shape
-    q_tokens = base.reshape(1, h * w, c)
-    s_tokens = sfeat.reshape(1, -1, c)
-    if config.pos_encoding:
-        pe = jnp.asarray(dana.positional_encoding(s_tokens.shape[1],
-                                                  config.feat_dim))
-        s_tokens = s_tokens + pe
-    qm = L.linear(q_tokens, params['rpn_adapt_q_layer'])
-    qm = qm - qm.mean(axis=1, keepdims=True)
-    km = L.linear(s_tokens, params['rpn_adapt_k_layer'])
-    km = km - km.mean(axis=1, keepdims=True)
-    attn = jax.nn.softmax(
-        jnp.einsum('bqd,bkd->bqk', qm, km)
-        / math.sqrt(config.rpn_reduce_dim), axis=-1)
-    # peakiness of each query cell's support attention = relevance
-    relevance = attn.max(axis=-1)[0].reshape(h, w)
-    return np.asarray(relevance), info
+    return rpn_attention_relevance(params, config, q, s), info
 
 
 def main():

@@ -174,9 +174,10 @@ def main(argv=None):
                          batch=sample, save_im=args.imlog)
         path = ckpt_lib.checkpoint_path(args.save_dir, epoch, steps - 1)
         host_state = jax.device_get(state)
-        ckpt_lib.save_checkpoint(
+        path = ckpt_lib.save_checkpoint(
             path, host_state.params, host_state.opt, epoch=epoch,
-            step=steps - 1, lr=lr, pooling_mode=cfg.POOLING_MODE)
+            step=steps - 1, lr=lr, pooling_mode=cfg.POOLING_MODE,
+            backend=args.ckpt_backend)
         print(f'[epoch {epoch:2d}] saved {path} '
               f'({time.time() - t0:.1f}s, {steps} iters)')
 

@@ -72,6 +72,10 @@ def parse_args(argv=None):
     parser.add_argument('--steps_per_call', default=1, type=int,
                         help='stage N batches per jitted call (lax.scan); '
                              'amortizes dispatch latency on TPU')
+    parser.add_argument('--ckpt_backend', default='pickle', type=str,
+                        choices=['pickle', 'orbax'],
+                        help='checkpoint writer: single-file pickle or '
+                        'Orbax directory (async/sharded-aware)')
     parser.add_argument('--profile', default=None, type=str,
                         help='capture a jax.profiler trace into this dir '
                              '(steps 3-8 of the run)')
