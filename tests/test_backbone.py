@@ -95,6 +95,23 @@ def test_base_forward_matches_torch():
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
 
 
+def test_s2d_stem_matches_direct_conv():
+    """The space-to-depth conv1 rewrite (resnet._conv7x7s2_s2d) is
+    numerically identical to the direct 7x7/2 pad-3 convolution, on even
+    and odd output parities."""
+    from dana_tpu.models import layers as L
+    rng = np.random.default_rng(0)
+    for h, w in [(64, 96), (112, 80), (608, 800)][:2]:
+        x = jnp.asarray(rng.normal(size=(2, h, w, 3)).astype(np.float32))
+        p = {'weight': jnp.asarray(
+            rng.normal(size=(7, 7, 3, 8)).astype(np.float32) * 0.1)}
+        ref = L.conv2d(x, p, stride=2, padding=3)
+        got = resnet._conv7x7s2_s2d(x, p)
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+
 def test_stem_ceil_mode_shape():
     # 600x1000 input -> conv1 stride2 -> 300x500 -> ceil maxpool -> 150x250
     params = {'conv1': {'weight': np.zeros((7, 7, 3, 4), np.float32)},
