@@ -77,6 +77,38 @@ def main():
 
     imgs_per_sec = batch * iters / dt
 
+    # cached-supports variant: the eval protocol fixes each class's
+    # support set (seeded pool, inference_loader.py), so inference.py
+    # encodes supports once per class and reuses the features for every
+    # query — this measures that deployed path (the conservative
+    # headline `value` still re-encodes per batch like the reference
+    # loop does, inference.py:100)
+    sup_feats = dana.extract_support_feats(params, config, sup)
+
+    @jax.jit
+    def predict_many_cached(params, ims, info, sup_feats):
+        def body(acc, one_im):
+            out = dana.forward(params, config, one_im, info,
+                               training=False, support_feats=sup_feats)
+            return acc + out['rois'].sum() + out['cls_prob'].sum(), None
+        acc, _ = jax.lax.scan(body, jnp.float32(0), ims)
+        return acc
+
+    np.asarray(jax.device_get(
+        predict_many_cached(params, ims, info, sup_feats)))
+
+    def timed_cached(n_calls):
+        t0 = time.perf_counter()
+        outs = [predict_many_cached(params, ims, info, sup_feats)
+                for _ in range(n_calls)]
+        np.asarray(jax.device_get(outs[-1]))
+        return time.perf_counter() - t0
+
+    tc1 = timed_cached(1)
+    tcm = timed_cached(5)
+    dtc = max((tcm - tc1) / 4.0, 1e-6)
+    imgs_per_sec_cached = batch * iters / dtc
+
     # FLOP-based MFU from XLA's own cost analysis of the compiled step
     # (VERDICT r1 item 3: report MFU next to imgs/s), against the v5e
     # bf16 peak.  cost_analysis counts the whole scan: divide by iters.
@@ -107,6 +139,7 @@ def main():
         'inference_mfu_pct': round(100 * mfu, 2),
         'inference_gflop_per_img': round(
             flops_per_batch / batch / 1e9, 1),
+        'imgs_per_sec_cached_supports': round(imgs_per_sec_cached, 3),
     }
     out.update(train_metrics)
     print(json.dumps(out))
