@@ -120,36 +120,58 @@ def main(argv=None):
 
     all_boxes = [[[] for _ in range(num_images)]
                  for _ in range(imdb_.num_classes)]
+
+    chunks = [idxs[s:s + eval_bs]
+              for _, idxs in sorted(groups.items())
+              for s in range(0, len(idxs), eval_bs)]
+
+    def assemble(chunk):
+        """Host-side batch assembly (imread/resize/pad) for one chunk."""
+        pad = eval_bs - len(chunk)
+        items = [loader[i] for i in chunk]
+        batch = {k: np.stack([it[k] for it in items] +
+                             [items[-1][k]] * pad)
+                 for k in ('im_data', 'im_info', 'support_ims')}
+        classes = [it['target_cls'] for it in items] \
+            + [items[-1]['target_cls']] * pad
+        return chunk, items, batch, classes
+
+    # pipeline host decode against device compute: cv2/np release the
+    # GIL, so a small thread pool keeps the next chunks assembling while
+    # the TPU runs the current one (the reference loop is fully serial,
+    # inference.py:88-105)
+    from concurrent.futures import ThreadPoolExecutor
+    pool_exec = ThreadPoolExecutor(max_workers=2)
+    pending = [pool_exec.submit(assemble, c) for c in chunks[:4]]
+    next_submit = 4
+
     t0 = time.time()
     n_done = 0
-    for bucket, idxs in sorted(groups.items()):
-        for s in range(0, len(idxs), eval_bs):
-            chunk = idxs[s:s + eval_bs]
-            pad = eval_bs - len(chunk)
-            items = [loader[i] for i in chunk]
-            batch = {k: np.stack([it[k] for it in items] +
-                                 [items[-1][k]] * pad)
-                     for k in ('im_data', 'im_info', 'support_ims')}
-            if use_sup_cache:
-                classes = [it['target_cls'] for it in items] \
-                    + [items[-1]['target_cls']] * pad
-                support_arg = batch_support_feats(classes)
-            else:
-                support_arg = jnp.asarray(batch['support_ims'])
-            dets, valid = predict(params, jnp.asarray(batch['im_data']),
-                                  jnp.asarray(batch['im_info']),
-                                  support_arg)
-            dets = np.asarray(dets)
-            valid = np.asarray(valid)
-            for bi, img_idx in enumerate(chunk):
-                cls = items[bi]['target_cls']
-                d = dets[bi][valid[bi]]
-                all_boxes[int(cls)][img_idx] = d
-            n_done += len(chunk)
-            if n_done % (20 * eval_bs) < eval_bs:
-                dt = time.time() - t0
-                print(f'{n_done}/{num_images} imgs, '
-                      f'{n_done / dt:.2f} img/s', flush=True)
+    for ci in range(len(chunks)):
+        chunk, items, batch, classes = pending[ci].result()
+        if next_submit < len(chunks):
+            pending.append(pool_exec.submit(assemble,
+                                            chunks[next_submit]))
+            next_submit += 1
+        if use_sup_cache:
+            support_arg = batch_support_feats(classes)
+        else:
+            support_arg = jnp.asarray(batch['support_ims'])
+        dets, valid = predict(params, jnp.asarray(batch['im_data']),
+                              jnp.asarray(batch['im_info']),
+                              support_arg)
+        dets = np.asarray(dets)
+        valid = np.asarray(valid)
+        for bi, img_idx in enumerate(chunk):
+            cls = items[bi]['target_cls']
+            d = dets[bi][valid[bi]]
+            all_boxes[int(cls)][img_idx] = d
+        n_done += len(chunk)
+        if n_done % (20 * eval_bs) < eval_bs:
+            dt = time.time() - t0
+            print(f'{n_done}/{num_images} imgs, '
+                  f'{n_done / dt:.2f} img/s', flush=True)
+    pool_exec.shutdown(wait=False)
 
     out_dir = args.eval_dir or os.path.join(args.save_dir, 'eval')
     os.makedirs(out_dir, exist_ok=True)
