@@ -15,8 +15,6 @@ from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-
 from dana_tpu.engine import optim
 from dana_tpu.models import dana
 
@@ -153,79 +151,9 @@ def predict_step(params, config: dana.DanaConfig, im_data, im_info,
 # Data-parallel mesh wiring
 # ----------------------------------------------------------------------------
 
-def make_mesh(devices=None, axis: str = 'data') -> Mesh:
-    import numpy as np
-    devices = devices if devices is not None else jax.devices()
-    return Mesh(np.array(devices), (axis,))
-
-
-def make_mesh_2d(devices=None, data: int = 0, model: int = 1) -> Mesh:
-    """2-D (data, model) mesh for combined data+tensor parallelism.
-
-    `data`/`model` give the axis extents (0 = infer from device count).
-    The reference has no multi-GPU story beyond DataParallel
-    (train.py:104-105); the model axis is our TPU-native extension for
-    scaling the wide heads — XLA inserts the all-gathers/reduce-scatters
-    implied by the param shardings of shard_params_tp.
-    """
-    import numpy as np
-    devices = list(devices if devices is not None else jax.devices())
-    n = len(devices)
-    if not model:
-        model = 2 if n % 2 == 0 and n >= 4 else 1
-    if not data:
-        data = n // model
-    assert data * model == n, (data, model, n)
-    return Mesh(np.array(devices).reshape(data, model), ('data', 'model'))
-
-
-def _tp_spec(path_str: str, leaf) -> P:
-    """PartitionSpec for one param leaf under tensor parallelism.
-
-    Column-sharding (output features over 'model') for the wide
-    projection/conv weights; everything else replicated.  XLA's sharding
-    propagation shards the matching activations and inserts the
-    collectives.
-    """
-    tp_cols = ('rpn_adapt_q_layer', 'rpn_adapt_k_layer',
-               'rcnn_adapt_q_layer', 'rcnn_adapt_k_layer',
-               'RPN_Conv', 'linear1')
-    if any(f"['{name}']" in path_str for name in tp_cols) \
-            and path_str.endswith("['weight']") and leaf.ndim >= 2 \
-            and leaf.shape[-1] % 2 == 0:
-        return P(*([None] * (leaf.ndim - 1) + ['model']))
-    return P()
-
-
-def shard_params_tp(params, mesh: Mesh):
-    """Place a param tree with TP column-sharding over mesh axis 'model'
-    (biases and small/irregular leaves replicated)."""
-    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
-    out = []
-    for path, leaf in flat:
-        spec = _tp_spec(jax.tree_util.keystr(path), leaf)
-        out.append(jax.device_put(leaf, NamedSharding(mesh, spec)))
-    return jax.tree_util.tree_unflatten(treedef, out)
-
-
-def shard_batch(batch, mesh: Mesh, axis: str = 'data'):
-    """Place a host batch with leading batch axis sharded over the mesh."""
-    sharding = NamedSharding(mesh, P(axis))
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
-
-
-def replicate(tree, mesh: Mesh):
-    sharding = NamedSharding(mesh, P())
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
-
-
-def shard_state_tp(state: TrainState, mesh: Mesh) -> TrainState:
-    """TrainState placement for a 2-D (data, model) mesh: params and
-    momentum velocity TP-sharded consistently, scalars replicated."""
-    params = shard_params_tp(state.params, mesh)
-    vel = shard_params_tp(state.opt.velocity, mesh)
-    rep = NamedSharding(mesh, P())
-    opt = state.opt._replace(
-        velocity=vel, lr=jax.device_put(state.opt.lr, rep))
-    return TrainState(params=params, opt=opt,
-                      step=jax.device_put(state.step, rep))
+# Mesh construction and placement live in dana_tpu.parallel (the stable
+# public surface); re-exported here so engine-level callers and older
+# call sites keep working.
+from dana_tpu.parallel import (make_mesh, make_mesh_2d,  # noqa: F401,E402
+                               replicate, shard_batch, shard_params_tp,
+                               shard_state_tp)

@@ -1,14 +1,100 @@
-"""Device-mesh parallelism utilities.
+"""Device-mesh parallelism: mesh construction and placement.
 
 The reference's only parallelism is single-process nn.DataParallel
-(train.py:104-105).  Here scaling is expressed the TPU way: a
-jax.sharding.Mesh, batch sharded over the 'data' axis, params/optimizer
-replicated, XLA inserting the gradient all-reduce over ICI.  The jitted
-step functions themselves live in dana_tpu.engine.train; this module owns
-mesh construction and placement helpers and is the stable public surface.
+(train.py:104-105).  Here scaling is expressed the TPU way:
+
+  * 1-D Mesh('data'): batch sharded over 'data', params/optimizer
+    replicated, XLA inserting the gradient all-reduce over ICI —
+    the semantic replacement for DataParallel's scatter/gather +
+    loss .mean() (reference train.py:138-139).
+  * 2-D Mesh('data', 'model'): additionally column-shards the wide
+    projection/conv weights over 'model' (tensor parallelism — beyond
+    the reference); XLA's sharding propagation shards the matching
+    activations and inserts the TP collectives.
+
+The jitted step functions live in dana_tpu.engine.train; this module
+owns mesh construction and placement and is the stable public surface
+(engine.train re-exports these names for compatibility).
 """
 
-from dana_tpu.engine.train import (make_mesh, replicate,  # noqa: F401
-                                   shard_batch)
+from __future__ import annotations
 
-__all__ = ['make_mesh', 'replicate', 'shard_batch']
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(devices=None, axis: str = 'data') -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.array(devices), (axis,))
+
+
+def make_mesh_2d(devices=None, data: int = 0, model: int = 1) -> Mesh:
+    """2-D (data, model) mesh for combined data+tensor parallelism.
+
+    `data`/`model` give the axis extents (0 = infer from device count).
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if not model:
+        model = 2 if n % 2 == 0 and n >= 4 else 1
+    if not data:
+        data = n // model
+    assert data * model == n, (data, model, n)
+    return Mesh(np.array(devices).reshape(data, model), ('data', 'model'))
+
+
+def _tp_spec(path_str: str, leaf) -> P:
+    """PartitionSpec for one param leaf under tensor parallelism.
+
+    Column-sharding (output features over 'model') for the wide
+    projection/conv weights; everything else replicated.
+    """
+    tp_cols = ('rpn_adapt_q_layer', 'rpn_adapt_k_layer',
+               'rcnn_adapt_q_layer', 'rcnn_adapt_k_layer',
+               'RPN_Conv', 'linear1')
+    if any(f"['{name}']" in path_str for name in tp_cols) \
+            and path_str.endswith("['weight']") and leaf.ndim >= 2 \
+            and leaf.shape[-1] % 2 == 0:
+        return P(*([None] * (leaf.ndim - 1) + ['model']))
+    return P()
+
+
+def shard_params_tp(params, mesh: Mesh):
+    """Place a param tree with TP column-sharding over mesh axis 'model'
+    (biases and small/irregular leaves replicated)."""
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+    out = []
+    for path, leaf in flat:
+        spec = _tp_spec(jax.tree_util.keystr(path), leaf)
+        out.append(jax.device_put(leaf, NamedSharding(mesh, spec)))
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def shard_batch(batch, mesh: Mesh, axis: str = 'data'):
+    """Place a host batch with leading batch axis sharded over the mesh."""
+    sharding = NamedSharding(mesh, P(axis))
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def replicate(tree, mesh: Mesh):
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def shard_state_tp(state, mesh: Mesh):
+    """TrainState placement for a 2-D (data, model) mesh: params and
+    momentum velocity TP-sharded consistently, scalars replicated.
+    Structural (`_replace`-based) so it works on any TrainState-shaped
+    NamedTuple without importing engine.train."""
+    params = shard_params_tp(state.params, mesh)
+    vel = shard_params_tp(state.opt.velocity, mesh)
+    rep = NamedSharding(mesh, P())
+    opt = state.opt._replace(
+        velocity=vel, lr=jax.device_put(state.opt.lr, rep))
+    return state._replace(params=params, opt=opt,
+                          step=jax.device_put(state.step, rep))
+
+
+__all__ = ['make_mesh', 'make_mesh_2d', 'shard_params_tp', 'shard_batch',
+           'replicate', 'shard_state_tp']
