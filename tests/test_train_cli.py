@@ -39,6 +39,9 @@ def test_train_cli_mgpus_smoke(tmp_path, monkeypatch):
         'TRAIN.RPN_PRE_NMS_TOP_N', '300', 'TRAIN.RPN_POST_NMS_TOP_N', '48',
         'TRAIN.RPN_BATCHSIZE', '64', 'TRAIN.BATCH_SIZE', '32',
         'TPU.NMS_MAX_INPUT', '300',
+        # static canvas buckets must shrink with the scales or the step
+        # compiles/executes on the default 608x1024 canvases
+        'TPU.SIZE_BUCKETS', '[(128, 192), (192, 128), (160, 160)]',
     ]
     train_cli.main(argv)
 
