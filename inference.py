@@ -149,6 +149,7 @@ def main(argv=None):
     n_done = 0
     for ci in range(len(chunks)):
         chunk, items, batch, classes = pending[ci].result()
+        pending[ci] = None     # release the decoded batch once consumed
         if next_submit < len(chunks):
             pending.append(pool_exec.submit(assemble,
                                             chunks[next_submit]))
