@@ -103,7 +103,14 @@ def _register_all():
 
     def vg_ds(version, split):
         from dana_tpu.utils.config import cfg
-        if osp.isdir(osp.join(cfg.DATA_DIR, 'genome')):
+        from dana_tpu.data.vg import _SPLIT_FILES
+        genome = osp.join(cfg.DATA_DIR, 'genome')
+        base = _SPLIT_FILES.get(split, (split, None))[0]
+        # route to the native parser only when its full layout exists
+        # (vocab + split txt); a bare genome/ dir of raw images must not
+        # shadow the COCO-format fallback
+        if osp.exists(osp.join(genome, version, 'objects_vocab.txt')) \
+                and osp.exists(osp.join(genome, base + '.txt')):
             from dana_tpu.data.vg import vg
             return vg(version, split)
         return generic('vg', split)
@@ -112,7 +119,14 @@ def _register_all():
         from dana_tpu.utils.config import cfg
         devkit = osp.join(cfg.DATA_DIR, 'imagenet', 'ILSVRC_devkit')
         data = osp.join(cfg.DATA_DIR, 'imagenet', 'ILSVRC')
-        if osp.isdir(devkit):
+        sets_file = osp.join(
+            data, 'ImageSets',
+            ('trainr' if split == 'train' else 'val') + '.txt')
+        # the devkit parser covers the reference's train/val layouts
+        # (imagenet.py:95-148); other registered splits and incomplete
+        # layouts use the COCO-format ingest
+        if split in ('train', 'val') and osp.isdir(devkit) \
+                and osp.exists(sets_file):
             from dana_tpu.data.imagenet import imagenet
             return imagenet(split, devkit, data)
         return generic('imagenet', split)

@@ -116,8 +116,12 @@ class imagenet(imdb):
                         index + '.xml')
         tree = ET.parse(path)
         size = tree.find('size')
-        width = int(size.findtext('width')) if size is not None else 0
-        height = int(size.findtext('height')) if size is not None else 0
+        if size is None:
+            # fail at the parse site: a 0-sized frame would surface much
+            # later as an opaque ZeroDivisionError in the loaders
+            raise ValueError(f'annotation {path} has no <size> element')
+        width = int(size.findtext('width'))
+        height = int(size.findtext('height'))
 
         boxes, classes = [], []
         for obj in tree.findall('object'):

@@ -103,12 +103,24 @@ class vg(imdb):
             xml_path = self._annotation_path(image_id)
             if not osp.exists(xml_path):
                 continue
-            tree = ET.parse(xml_path)
-            if any(o.findtext('name', '').lower().strip()
-                   in self._class_to_ind for o in tree.findall('object')):
+            if self._has_in_vocab_object(xml_path):
                 index.append(image_id)
                 id_to_dir[image_id] = im_file.split('/')[0]
         return index, id_to_dir
+
+    def _has_in_vocab_object(self, xml_path):
+        """Streamed scan (ET.iterparse with early exit) — the index
+        filter touches every split XML, so avoid a second full parse of
+        files whose first object already qualifies (the reference
+        re-parses everything twice and leans on a gzip roidb pickle
+        cache instead, vg.py:162-198)."""
+        for _, elem in ET.iterparse(xml_path, events=('end',)):
+            if elem.tag == 'object':
+                name = (elem.findtext('name') or '').lower().strip()
+                if name in self._class_to_ind:
+                    return True
+                elem.clear()
+        return False
 
     def _annotation_path(self, image_id):
         return osp.join(self._data_path, 'xml', f'{image_id}.xml')
@@ -211,11 +223,9 @@ class vg(imdb):
         for cls_ind, cls in enumerate(self._classes):
             if cls == '__background__':
                 continue
-            dets = all_boxes[cls_ind]
-            if all(d is None or len(d) == 0 for d in dets):
-                continue
-            ap = self._eval_class(dets, cls_ind)
-            aps[cls] = ap
+            # every foreground class counts toward the mean (a class with
+            # gt but no detections contributes AP 0.0, like pascal_voc)
+            aps[cls] = self._eval_class(all_boxes[cls_ind], cls_ind)
         mean_ap = float(np.mean(list(aps.values()))) if aps else 0.0
         print(f'VG mean AP = {mean_ap:.4f} over {len(aps)} classes')
         return {'ap': aps, 'map': mean_ap}

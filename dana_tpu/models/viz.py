@@ -37,20 +37,24 @@ def rpn_attention_relevance(params, config, query_blob, support_blob):
     sfeat = dana.backbone_base(params, config, jnp.asarray(sup))
     b, h, w, c = base.shape
     q_tokens = base.reshape(1, h * w, c)
-    s_tokens = sfeat.reshape(1, -1, c)
+    n, sh, sw = sfeat.shape[0], sfeat.shape[1], sfeat.shape[2]
+    # per-shot token sequences, exactly as the model builds them
+    # (_support_tokens): PE 0..Ns-1 PER SHOT, centering/softmax per shot
+    s_tokens = sfeat.reshape(1, n, sh * sw, c)
     if config.pos_encoding:
-        pe = jnp.asarray(dana.positional_encoding(s_tokens.shape[1],
+        pe = jnp.asarray(dana.positional_encoding(sh * sw,
                                                   config.feat_dim))
         s_tokens = s_tokens + pe
     qm = L.linear(q_tokens, params['rpn_adapt_q_layer'])
-    qm = qm - qm.mean(axis=1, keepdims=True)
+    qm = qm - qm.mean(axis=-2, keepdims=True)
     km = L.linear(s_tokens, params['rpn_adapt_k_layer'])
-    km = km - km.mean(axis=1, keepdims=True)
+    km = km - km.mean(axis=-2, keepdims=True)          # center per shot
     attn = jax.nn.softmax(
-        jnp.einsum('bqd,bkd->bqk', qm, km)
-        / math.sqrt(config.rpn_reduce_dim), axis=-1)
-    # peakiness of each query cell's support attention = relevance
-    return np.asarray(attn.max(axis=-1)[0].reshape(h, w))
+        jnp.einsum('bqd,bskd->bsqk', qm, km)
+        / math.sqrt(config.rpn_reduce_dim), axis=-1)   # softmax per shot
+    # peakiness of each query cell's support attention, averaged over
+    # shots (the model means its attended feature over shots)
+    return np.asarray(attn.max(axis=-1).mean(axis=1)[0].reshape(h, w))
 
 
 def overlay_heatmap(im_rgb, heat, alpha=0.5):

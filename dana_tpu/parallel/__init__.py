@@ -29,7 +29,7 @@ def make_mesh(devices=None, axis: str = 'data') -> Mesh:
     return Mesh(np.array(devices), (axis,))
 
 
-def make_mesh_2d(devices=None, data: int = 0, model: int = 1) -> Mesh:
+def make_mesh_2d(devices=None, data: int = 0, model: int = 0) -> Mesh:
     """2-D (data, model) mesh for combined data+tensor parallelism.
 
     `data`/`model` give the axis extents (0 = infer from device count).
@@ -37,7 +37,9 @@ def make_mesh_2d(devices=None, data: int = 0, model: int = 1) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if not model:
-        model = 2 if n % 2 == 0 and n >= 4 else 1
+        # honor an explicit data extent (model = n/data); else default to
+        # tp2 when the device count allows
+        model = n // data if data else (2 if n % 2 == 0 and n >= 4 else 1)
     if not data:
         data = n // model
     assert data * model == n, (data, model, n)

@@ -102,6 +102,10 @@ def load_checkpoint(path):
                 'extra': extra}
     if path.endswith('.odir') or osp.isdir(path):
         return _load_orbax(path)
+    if not osp.exists(path) and osp.isdir(path + '.odir'):
+        # standard resume path (checkpoint_path() names the pickle file)
+        # pointing at a checkpoint written with backend='orbax'
+        return _load_orbax(path + '.odir')
     with open(path, 'rb') as f:
         return pickle.load(f)
 

@@ -53,6 +53,18 @@ def test_orbax_roundtrip(tmp_path):
         np.asarray(restored.opt.velocity['layer']['bias']), np.zeros(3))
 
 
+def test_orbax_loads_through_standard_resume_path(tmp_path):
+    """load_checkpoint(checkpoint_path(...)) must find an orbax-written
+    checkpoint: save appends '.odir', resume passes the bare path."""
+    pytest.importorskip('orbax.checkpoint')
+    params = {'w': jnp.ones((2,))}
+    path = str(tmp_path / 'ck' / 'model_2_5.dkpt')
+    ck.save_checkpoint(path, params, epoch=2, step=5, backend='orbax')
+    payload = ck.load_checkpoint(path)        # bare .dkpt path
+    assert payload['epoch'] == 2
+    np.testing.assert_array_equal(payload['model']['w'], np.ones(2))
+
+
 def test_pth_import(tmp_path):
     torch = pytest.importorskip('torch')
     # reference-style checkpoint: {'model': sd, 'epoch', 'pooling_mode'}

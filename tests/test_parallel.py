@@ -126,6 +126,19 @@ def test_multistep_sharded_trajectory_matches_single_device():
                                    rtol=5e-3, atol=5e-4)
 
 
+def test_make_mesh_2d_extent_inference():
+    """Explicit data extent infers model = n // data (data=8 on 8
+    devices is pure DP through the 2-D API, not an AssertionError)."""
+    devs = jax.devices()
+    if len(devs) >= 8:
+        m = train.make_mesh_2d(devs[:8], data=8)
+        assert m.shape == {'data': 8, 'model': 1}
+        m = train.make_mesh_2d(devs[:8], model=2)
+        assert m.shape == {'data': 4, 'model': 2}
+        m = train.make_mesh_2d(devs[:8])
+        assert m.shape == {'data': 4, 'model': 2}
+
+
 def test_dp_tp_2d_mesh_train_step_matches_single_device():
     """One step on a 2-D (data, model) mesh — batch sharded over `data`,
     wide head weights column-sharded over `model` (our TP extension; the

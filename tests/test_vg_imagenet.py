@@ -146,3 +146,36 @@ def test_factory_names_resolve():
     for n in ['vg_150-50-50_train', 'vg_150-50-50_minival',
               'imagenet_train', 'imagenet_val']:
         assert n in names
+
+
+def test_vg_map_counts_undetected_classes(vg_root):
+    """A class with gt but zero detections contributes AP 0.0 to the
+    mean (pascal_voc semantics) instead of being dropped."""
+    from dana_tpu.data.vg import vg
+    import os.path as osp
+    ds = vg('150-50-50', 'val',
+            data_path=osp.join(vg_root, 'genome'),
+            img_path=osp.join(vg_root, 'vg'))
+    all_boxes = [[[] for _ in range(1)] for _ in range(3)]
+    all_boxes[1][0] = np.array([[0, 10, 50, 79, 0.9]])   # perfect dog
+    res = ds.evaluate_detections(all_boxes)              # cat: no dets
+    assert res['ap'] == {'dog': 1.0, 'cat': 0.0}
+    assert res['map'] == 0.5
+
+
+def test_factory_falls_back_on_incomplete_native_layout(tmp_path,
+                                                        monkeypatch):
+    """A bare DATA_DIR/genome dir (no vocab/split files) must not shadow
+    the COCO-format ingest; same for a devkit without ImageSets."""
+    import os
+    from dana_tpu.utils.config import cfg
+    from dana_tpu.data.factory import get_imdb
+    monkeypatch.setattr(cfg, 'DATA_DIR', str(tmp_path))
+    os.makedirs(tmp_path / 'genome')                       # incomplete
+    os.makedirs(tmp_path / 'imagenet' / 'ILSVRC_devkit')   # incomplete
+    for name in ['vg_150-50-50_val', 'imagenet_val', 'imagenet_test']:
+        try:
+            get_imdb(name)
+        except FileNotFoundError as e:
+            # the COCO-format fallback path is the one that errors
+            assert 'annotations' in str(e) or '.json' in str(e), (name, e)
