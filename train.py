@@ -13,6 +13,7 @@ batches, background host prefetch.
 from __future__ import annotations
 
 import os
+import signal
 import sys
 import time
 
@@ -21,6 +22,38 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 from utils import parse_args, load_cfg, get_model
+
+
+class PreemptionGuard:
+    """SIGTERM/SIGINT-aware checkpoint trigger.
+
+    TPU pods get preempted; the reference loses everything since its
+    last per-epoch torch.save (train.py:183-189).  The guard flips a
+    flag on the first signal (the training loop checkpoints and exits
+    cleanly at the next step boundary) and restores default handling on
+    the second so a stuck run can still be killed.
+    """
+
+    def __init__(self):
+        self.requested = False
+        self._prev = {}
+
+    def install(self):
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                self._prev[sig] = signal.signal(sig, self._handle)
+            except ValueError:      # non-main thread (tests)
+                pass
+        return self
+
+    def _handle(self, signum, frame):
+        if self.requested:          # second signal: give up gracefully
+            signal.signal(signum, self._prev.get(signum,
+                                                 signal.SIG_DFL))
+            raise KeyboardInterrupt
+        self.requested = True
+        print(f'signal {signum}: checkpointing at next step boundary',
+              flush=True)
 
 
 def main(argv=None):
@@ -101,6 +134,7 @@ def main(argv=None):
 
     rng = jax.random.PRNGKey(args.seed)
     global_step = 0
+    guard = PreemptionGuard().install()
     for epoch in range(start_epoch, args.max_epochs + 1):
         # step lr decay — exact reference cadence: decay at every epoch
         # divisible by lr_decay_step+1 (reference train.py:118-120; step=10
@@ -145,6 +179,8 @@ def main(argv=None):
                 yield 1, m
 
         for n, metrics in run_batches(it):
+            if guard.requested:
+                break
             if args.profile and global_step == 3:
                 jax.profiler.start_trace(args.profile)
             if args.profile and global_step >= 8 and global_step - n < 8:
@@ -172,14 +208,21 @@ def main(argv=None):
             logger.write(epoch,
                          {k: loss_acc[k] / steps for k in loss_acc},
                          batch=sample, save_im=args.imlog)
-        path = ckpt_lib.checkpoint_path(args.save_dir, epoch, steps - 1)
+        path = ckpt_lib.checkpoint_path(args.save_dir, epoch,
+                                        max(steps - 1, 0))
         host_state = jax.device_get(state)
         path = ckpt_lib.save_checkpoint(
             path, host_state.params, host_state.opt, epoch=epoch,
-            step=steps - 1, lr=lr, pooling_mode=cfg.POOLING_MODE,
-            backend=args.ckpt_backend)
+            step=max(steps - 1, 0), lr=lr,
+            pooling_mode=cfg.POOLING_MODE, backend=args.ckpt_backend)
         print(f'[epoch {epoch:2d}] saved {path} '
               f'({time.time() - t0:.1f}s, {steps} iters)')
+        if guard.requested:
+            # preemption: the epoch's progress is checkpointed above;
+            # exit cleanly so --r resumes from here (beyond the
+            # reference, which loses everything since its last epoch)
+            print('preemption checkpoint written; exiting')
+            return path
 
 
 if __name__ == '__main__':
