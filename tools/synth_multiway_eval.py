@@ -35,7 +35,7 @@ from dana_tpu.models.layers import to_jnp
 from dana_tpu.utils import checkpoint as ck
 
 
-def main(ckpt_path, way=5, shot=2):
+def main(ckpt_path, way=5, shot=2, arch='resnet50'):
     imdb_tr, roidb_tr, _, _ = combined_roidb('synth_train', training=False,
                                              use_flipped=False)
     imdb_te, roidb_te, _, _ = combined_roidb('synth_test', training=False,
@@ -43,7 +43,7 @@ def main(ckpt_path, way=5, shot=2):
     payload = ck.load_checkpoint(ckpt_path)
     params = to_jnp(payload['model'])
     config = dana.DanaConfig(
-        n_way=way, n_shot=shot, anchor_scales=(4, 8, 16, 32),
+        n_way=way, n_shot=shot, arch=arch, anchor_scales=(4, 8, 16, 32),
         test_pre_nms=600, test_post_nms=64, nms_cap=600)
 
     pool = SupportPool(imdb_te.classes, shot, support_roidb=roidb_tr,
@@ -83,7 +83,8 @@ def main(ckpt_path, way=5, shot=2):
 if __name__ == '__main__':
     main(sys.argv[1],
          int(sys.argv[2]) if len(sys.argv) > 2 else 5,
-         int(sys.argv[3]) if len(sys.argv) > 3 else 2)
+         int(sys.argv[3]) if len(sys.argv) > 3 else 2,
+         sys.argv[4] if len(sys.argv) > 4 else 'resnet50')
 
 # Results (TPU v5e, checkpoints from synth_train_eval on synth_train_big):
 #   48k steps (~15 min): 5-way 2-shot AP 0.749, AP50 0.882 on synth_test

@@ -37,11 +37,12 @@ from dana_tpu.models import dana
 from dana_tpu.models.layers import to_jnp
 
 
-def main(epochs=20, train_name='synth_train', test_name='synth_test'):
+def main(epochs=20, train_name='synth_train', test_name='synth_test',
+         arch='resnet50'):
     imdb_tr, roidb_tr, _, _ = combined_roidb(train_name, training=False,
                                              use_flipped=False)
     config = dana.DanaConfig(
-        n_way=2, n_shot=2, anchor_scales=(4, 8, 16, 32),
+        n_way=2, n_shot=2, arch=arch, anchor_scales=(4, 8, 16, 32),
         train_pre_nms=600, train_post_nms=128, test_pre_nms=600,
         test_post_nms=64, nms_cap=600, rois_per_image=32)
     params = to_jnp(dana.init_params(config, seed=0))
@@ -143,7 +144,7 @@ def main(epochs=20, train_name='synth_train', test_name='synth_test'):
 
 if __name__ == '__main__':
     main(int(sys.argv[1]) if len(sys.argv) > 1 else 20,
-         *(sys.argv[2:4] or ()))
+         *(sys.argv[2:5] or ()))
 
 # Results (TPU v5e, random init, 2-way 2-shot, 60 train images):
 #   30 epochs (3.6k steps, ~4 min):  AP 0.139  AP50 0.202
