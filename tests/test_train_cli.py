@@ -21,6 +21,45 @@ pytestmark = pytest.mark.skipif(len(jax.devices()) < 4,
                                 reason='needs multi-device CPU platform')
 
 
+def test_train_cli_preemption_checkpoints_and_rewinds_epoch(tmp_path,
+                                                            monkeypatch):
+    """A preemption request after the first step writes a checkpoint
+    recording the PREVIOUS epoch (so --r re-runs the interrupted one)
+    and exits cleanly with the checkpoint path."""
+    monkeypatch.setenv('DANA_SYNTH_ROOT', str(tmp_path / 'synth'))
+    save_dir = str(tmp_path / 'run')
+
+    import train as train_cli
+
+    class AlwaysPreempted:
+        requested = True
+
+        def install(self):
+            return self
+
+    monkeypatch.setattr(train_cli, 'PreemptionGuard', AlwaysPreempted)
+    argv = [
+        '--dataset', 'synth_test', '--net', 'DAnA', '--backbone', 'res50',
+        '--bs', '2', '--epochs', '3', '--way', '2', '--shot', '1',
+        '--disp_interval', '1', '--dlog',
+        '--save_dir', save_dir, '--seed', '3',
+        '--set',
+        'TRAIN.SCALES', '(128,)', 'TRAIN.MAX_SIZE', '192',
+        'TRAIN.RPN_PRE_NMS_TOP_N', '300', 'TRAIN.RPN_POST_NMS_TOP_N', '48',
+        'TRAIN.RPN_BATCHSIZE', '64', 'TRAIN.BATCH_SIZE', '32',
+        'TPU.NMS_MAX_INPUT', '300',
+        'TPU.SIZE_BUCKETS', '[(128, 192), (192, 128), (160, 160)]',
+    ]
+    path = train_cli.main(argv)
+    # one step of epoch 1 ran; the checkpoint rewinds to epoch 0
+    assert path is not None and 'model_0_0' in path
+    from dana_tpu.utils import checkpoint as ckpt_lib
+    payload = ckpt_lib.load_checkpoint(path)
+    assert payload['epoch'] == 0
+    for leaf in jax.tree.leaves(payload['model']):
+        assert np.all(np.isfinite(np.asarray(leaf)))
+
+
 def test_train_cli_mgpus_smoke(tmp_path, monkeypatch):
     monkeypatch.setenv('DANA_SYNTH_ROOT', str(tmp_path / 'synth'))
     save_dir = str(tmp_path / 'run')

@@ -48,8 +48,10 @@ class PreemptionGuard:
 
     def _handle(self, signum, frame):
         if self.requested:          # second signal: give up gracefully
-            signal.signal(signum, self._prev.get(signum,
-                                                 signal.SIG_DFL))
+            # a stored None means the prior handler was installed by
+            # non-Python code; fall back to the default disposition
+            signal.signal(signum,
+                          self._prev.get(signum) or signal.SIG_DFL)
             raise KeyboardInterrupt
         self.requested = True
         print(f'signal {signum}: checkpointing at next step boundary',
@@ -178,14 +180,15 @@ def main(argv=None):
                 state, m = step_fn(state, b, rng)
                 yield 1, m
 
+        trace_active = False
         for n, metrics in run_batches(it):
-            if guard.requested:
-                break
             if args.profile and global_step == 3:
                 jax.profiler.start_trace(args.profile)
+                trace_active = True
             if args.profile and global_step >= 8 and global_step - n < 8:
                 jax.block_until_ready(state.params)
                 jax.profiler.stop_trace()
+                trace_active = False
                 print(f'profiler trace written to {args.profile}')
             steps += n
             global_step += n
@@ -198,7 +201,19 @@ def main(argv=None):
                 print(f'[epoch {epoch:2d}][iter {steps:4d}] '
                       f'lr: {lr:.2e}, time/iter: {dt / steps:.3f}s, {msg}',
                       flush=True)
+            if guard.requested:
+                # break AFTER accounting: the step that just ran is in
+                # `state` and must be reflected in steps/metrics
+                break
+        if trace_active:
+            jax.block_until_ready(state.params)
+            jax.profiler.stop_trace()
+            print(f'profiler trace written to {args.profile} (partial)')
         if steps == 0:
+            if guard.requested:
+                print('preempted before the first step; nothing new to '
+                      'checkpoint — exiting')
+                return None
             print('no batches; check dataset')
             break
         if logger is not None:
@@ -208,19 +223,23 @@ def main(argv=None):
             logger.write(epoch,
                          {k: loss_acc[k] / steps for k in loss_acc},
                          batch=sample, save_im=args.imlog)
-        path = ckpt_lib.checkpoint_path(args.save_dir, epoch,
-                                        max(steps - 1, 0))
+        # a mid-epoch preemption checkpoint records the PREVIOUS epoch as
+        # the last complete one, so --r re-runs the interrupted epoch
+        # instead of silently skipping its remaining batches (the partial
+        # updates it carries are simply trained over again)
+        ckpt_epoch = epoch - 1 if guard.requested else epoch
+        path = ckpt_lib.checkpoint_path(args.save_dir, ckpt_epoch,
+                                        steps - 1)
         host_state = jax.device_get(state)
         path = ckpt_lib.save_checkpoint(
-            path, host_state.params, host_state.opt, epoch=epoch,
-            step=max(steps - 1, 0), lr=lr,
+            path, host_state.params, host_state.opt, epoch=ckpt_epoch,
+            step=steps - 1, lr=lr,
             pooling_mode=cfg.POOLING_MODE, backend=args.ckpt_backend)
         print(f'[epoch {epoch:2d}] saved {path} '
               f'({time.time() - t0:.1f}s, {steps} iters)')
         if guard.requested:
-            # preemption: the epoch's progress is checkpointed above;
-            # exit cleanly so --r resumes from here (beyond the
-            # reference, which loses everything since its last epoch)
+            # beyond the reference, which loses everything since its
+            # last per-epoch save (train.py:183-189)
             print('preemption checkpoint written; exiting')
             return path
 
