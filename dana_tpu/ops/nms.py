@@ -126,6 +126,11 @@ def nms_fixed_tiled(boxes, scores, iou_threshold, max_output: int,
     (triangular fixpoint on [tile, tile]), then appended to the kept
     buffer; the scan exits early once max_output boxes are kept.
     O(N*(tile+max_output)) compute, O(tile^2) memory.
+
+    Tile size is a pure perf knob (results are exact greedy NMS for any
+    tile).  v5e sweep at N=6000, bs=8 (round 2): 512 is the optimum —
+    0.44 ms to 300 kept / 2.28 ms to 2000 kept (256: 0.50/2.88;
+    1024: 0.74/3.70; 2048: 2.21/-).
     """
     n = boxes.shape[0]
     neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
