@@ -27,19 +27,24 @@ def _coco_dir():
 
 
 def _register_all():
-    # FSOD splits (factory.py:57-71)
+    # FSOD splits — the reference's exact registrations
+    # (factory.py:46-70): coco_{60,20,vis}_{set1..4} (+set1allcat for
+    # 60), coco_{3way,5way}_{set1,set2}, coco_ft
+    for year in ['set1', 'set2', 'set3', 'set4', 'set1allcat']:
+        _register(f'coco_60_{year}', lambda y=year: coco_split('60', y))
     for year in ['set1', 'set2', 'set3', 'set4']:
-        for split in ['60']:
-            name = f'coco_{split}_{year}'
-            _register(name, lambda s=split, y=year: coco_split(s, y))
-    for year in ['set1', 'set2']:
-        name = f'coco_20_{year}'
-        _register(name, lambda y=year: coco_split('20', y))
+        _register(f'coco_20_{year}', lambda y=year: coco_split('20', y))
+        _register(f'coco_vis_{year}', lambda y=year: coco_split('vis', y))
+    for split in ['3way', '5way']:
+        for year in ['set1', 'set2']:
+            _register(f'coco_{split}_{year}',
+                      lambda s=split, y=year: coco_split(s, y))
+    _register('coco_ft', lambda: coco_split('shot', '10'))
+    # environment-local aliases kept from round 1
     for tag in ['3way1', '3way2']:
         _register(f'coco_20_{tag}', lambda t=tag: coco_split('3way', t))
     for tag in ['5way1', '5way2']:
         _register(f'coco_20_{tag}', lambda t=tag: coco_split('5way', t))
-    _register('coco_vis_set1', lambda: coco_split('vis', 'set1'))
     _register('coco_ft_shot30', lambda: coco_split('shot', 'shot30'))
 
     # pre-generated episodes (factory.py:73-77, episode.py:70-76)
@@ -64,7 +69,8 @@ def _register_all():
         return CocoFormatDataset(f'coco_2014_{split}', ann,
                                  osp.join(d, 'images', f'{split}2014'),
                                  _coco_image_name(f'{split}2014'))
-    for split in ['train', 'val', 'minival', 'valminusminival']:
+    for split in ['train', 'val', 'minival', 'valminusminival',
+                  'trainval']:
         _register(f'coco_2014_{split}', lambda s=split: coco2014(s))
 
     # coco80 finetune (coco_finetune.py:63-66)
@@ -84,8 +90,29 @@ def _register_all():
         ann = osp.join(d, 'annotations', f'{split}.json')
         return CocoFormatDataset(f'ycb2d_{split}', ann,
                                  osp.join(d, 'images'))
-    for split in ['train', 'val', 'test', 'debug', 'strict', 'normal',
-                  'hard', 'ycbv_train', 'ycbv_debug']:
+    # the reference's exact ycb2d names (factory.py:14-44): each maps a
+    # (split, year) pair; annotations are COCO-format per tag
+    ycb_tags = []
+    for i in [256, 240, 224, 208, 200, 192, 160, 128, 100, 96, 80, 64,
+              50, 48, 32, 30, 20, 16, 10]:
+        ycb_tags.append(f'replace{i}')
+    ycb_tags += ['inference_sparse', 'inferencefs_sparse',
+                 'inference_dense', 'inferencefs_dense', 'inference']
+    for i in [1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 14, 16,
+              '1cls', '2cls', '3cls', '4cls']:
+        ycb_tags.append(f'stage{i}')
+    for i in [512, 256, 128, 64, 32, 16, 8]:
+        ycb_tags.append(f'oracle{i}')
+    for i in [64, 32, 16]:
+        ycb_tags.append(f'oracle_dense{i}')
+    for i in [20, 10, 5]:
+        ycb_tags.append(f'fsoracle_dense{i}')
+    for i in range(1, 10):
+        ycb_tags.append(f'pseudo{i}')
+    # environment-local extras kept from round 1
+    ycb_tags += ['train', 'val', 'test', 'debug', 'strict', 'normal',
+                 'hard', 'ycbv_train', 'ycbv_debug']
+    for split in ycb_tags:
         _register(f'ycb2d_{split}', lambda s=split: ycb2d(s))
 
     # visual genome / imagenet (vg.py, imagenet.py — unused by any FSOD
