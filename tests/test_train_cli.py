@@ -59,6 +59,17 @@ def test_train_cli_preemption_checkpoints_and_rewinds_epoch(tmp_path,
     for leaf in jax.tree.leaves(payload['model']):
         assert np.all(np.isfinite(np.asarray(leaf)))
 
+    # the preemption -> resume loop closes end-to-end: --r restarts at
+    # the interrupted epoch 1 and trains it to completion
+    monkeypatch.undo()                # restore the real PreemptionGuard
+    monkeypatch.setenv('DANA_SYNTH_ROOT', str(tmp_path / 'synth'))
+    resume_argv = argv + ['--r', '--load_dir', save_dir,
+                          '--checkepoch', '0', '--checkpoint', '0',
+                          '--epochs', '1']
+    train_cli.main(resume_argv)
+    ckpts = os.listdir(osp.join(save_dir, 'train', 'checkpoints'))
+    assert any(c.startswith('model_1_') for c in ckpts), ckpts
+
 
 def test_train_cli_mgpus_smoke(tmp_path, monkeypatch):
     monkeypatch.setenv('DANA_SYNTH_ROOT', str(tmp_path / 'synth'))
