@@ -88,7 +88,10 @@ if __name__ == '__main__':
 
 # Results (TPU v5e, checkpoints from synth_train_eval on synth_train_big):
 #   48k steps (~15 min): 5-way 2-shot AP 0.749, AP50 0.882 on synth_test
-#  144k steps (~42 min): 5-way 2-shot AP 0.811, AP50 0.910
+#  144k steps (~42 min): 5-way 2-shot AP 0.811, AP50 0.910 (round-1 code)
+#  round 2 (shot-fused kernels): 144k steps AP 0.749 / AP50 0.913;
+#  288k steps (~75 min) AP 0.761 / AP50 0.928 (best);
+#  ResNet-101 72k steps, 5-way 5-shot: AP 0.734 / AP50 0.900
 # Note: the single-way protocol's lower AP (0.34) is bookkeeping — it
 # scores one target class per image while our synth annotations contain
 # all classes, so unevaluated (image, class) pairs count as missed gts;
