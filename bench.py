@@ -6,7 +6,15 @@ Config mirrors the reference eval protocol (inference.py:85-105: ResNet-50
 DAnA, 3-shot supports at 320x320, shortest-side-600 query) but batched —
 the reference runs bs=1 on GPU; its published per-image timing prints put
 it around ~4-5 img/s on a 2080 Ti-class GPU (no official number exists:
-BASELINE.md — baseline taken as 5 img/s; vs_baseline is ours/5).
+BASELINE.md — baseline taken as 5 img/s; vs_baseline is ours/5, and the
+JSON carries "baseline_assumed": true so nobody mistakes it for a
+measured GPU comparison — MFU is the defensible absolute number).
+
+Weights are random-init (SkipInit zeros the residual branches, so
+activations are numerically degenerate) — XLA does not exploit value
+sparsity, every conv/matmul executes identical work regardless of weight
+values, so the timings are valid throughput measurements; only the box
+CONTENT is meaningless here, and nothing downstream reads it.
 """
 
 import json
@@ -136,6 +144,8 @@ def main():
         'value': round(imgs_per_sec, 3),
         'unit': 'imgs/s',
         'vs_baseline': round(imgs_per_sec / BASELINE_IMGS_PER_SEC, 3),
+        'baseline_assumed': True,   # no published reference number exists
+        # (BASELINE.md): denominator is an assumed 5 img/s GPU loop
         'inference_mfu_pct': round(100 * mfu, 2),
         'inference_gflop_per_img': round(
             flops_per_batch / batch / 1e9, 1),

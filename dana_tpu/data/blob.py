@@ -2,9 +2,18 @@
 
 Parity with /root/reference/lib/model/utils/blob.py:20-52 and
 minibatch.py:22-96: BGR channel order, Caffe pixel-mean subtraction,
-shortest-side scaling with a max-size cap — but padded onto a *static
-bucket canvas* (TPU: each bucket compiles exactly once) instead of the
-reference's per-batch dynamic padding (fs_loader.py:39-53).
+shortest-side scaling — but padded onto a *static bucket canvas* (TPU:
+each bucket compiles exactly once) instead of the reference's per-batch
+dynamic padding (fs_loader.py:39-53).
+
+Scale parity note: the reference's MAX_SIZE cap is COMMENTED OUT
+(blob.py:44-46) — its effective behavior is pure shortest-side scaling,
+so eval images can exceed 1000 px on the long side.  `max_size=None`
+here reproduces that exactly (the default through cfg.TPU.
+EXACT_QUERY_SCALE); passing a number restores the capped py-faster-rcnn
+behavior as an explicit deviation knob.  Images wider than every static
+bucket get a dynamically synthesized canvas (snapped to multiples of 64
+so the rare aspect outliers share compilations).
 """
 
 from __future__ import annotations
@@ -17,8 +26,27 @@ except ImportError:                                    # pragma: no cover
     cv2 = None
 
 # (H, W) canvases: landscape / portrait / square, sized to cover the
-# reference TRAIN/TEST scales (600 shortest / 1000 max, config.py SCALES).
-DEFAULT_BUCKETS = ((608, 1024), (1024, 608), (704, 704))
+# reference TEST scale (600 shortest side, uncapped long side) for
+# aspect ratios up to 2 — beyond that snap_bucket synthesizes a canvas.
+DEFAULT_BUCKETS = ((608, 1024), (1024, 608), (704, 704),
+                   (608, 1216), (1216, 608))
+
+
+def query_scale(h, w, target_size, max_size=None) -> float:
+    """The reference's effective query scale: shortest side -> target,
+    long-side cap only if max_size is given (blob.py:40-46: the cap is
+    commented out, so the published checkpoints saw uncapped scaling)."""
+    scale = float(target_size) / min(h, w)
+    if max_size and round(scale * max(h, w)) > max_size:
+        scale = float(max_size) / max(h, w)
+    return scale
+
+
+def snap_bucket(h, w, multiple=64):
+    """Synthesize a canvas for shapes no static bucket contains: round
+    each side up to `multiple` (bounds the distinct compile shapes)."""
+    snap = lambda v: int(-(-int(v) // multiple) * multiple)
+    return (snap(h), snap(w))
 
 
 def imread_bgr(path: str) -> np.ndarray:
@@ -30,29 +58,28 @@ def imread_bgr(path: str) -> np.ndarray:
     return im.astype(np.float32)
 
 
-def prep_im_for_blob(im, pixel_means, target_size, max_size):
-    """Mean-subtract and scale shortest side to target (cap max side).
+def prep_im_for_blob(im, pixel_means, target_size, max_size=None):
+    """Mean-subtract and scale shortest side to target (long-side cap
+    only when max_size is given; None = the reference's effective
+    cap-disabled behavior, blob.py:44-46).
 
     Returns (image, scale). Parity: blob.py:35-52."""
     im = im.astype(np.float32) - pixel_means
     h, w = im.shape[:2]
-    im_size_min, im_size_max = min(h, w), max(h, w)
-    scale = float(target_size) / im_size_min
-    if round(scale * im_size_max) > max_size:
-        scale = float(max_size) / im_size_max
+    scale = query_scale(h, w, target_size, max_size)
     im = cv2.resize(im, None, fx=scale, fy=scale,
                     interpolation=cv2.INTER_LINEAR)
     return im, scale
 
 
 def pick_bucket(h, w, buckets=DEFAULT_BUCKETS):
-    """Smallest-area bucket that contains (h, w); falls back to the
-    smallest bucket that fits after further downscale."""
+    """Smallest-area bucket that contains (h, w); aspect outliers no
+    static bucket covers get a synthesized snapped canvas (the former
+    fallback silently CROPPED the image to the largest bucket)."""
     fitting = [b for b in buckets if b[0] >= h and b[1] >= w]
     if fitting:
         return min(fitting, key=lambda b: b[0] * b[1])
-    # shouldn't happen with reference scales; use max-area bucket
-    return max(buckets, key=lambda b: b[0] * b[1])
+    return snap_bucket(h, w)
 
 
 def pad_to_canvas(im, canvas_hw):
@@ -65,7 +92,7 @@ def pad_to_canvas(im, canvas_hw):
     return out
 
 
-def query_blob(im, pixel_means, target_size=600, max_size=1000,
+def query_blob(im, pixel_means, target_size=600, max_size=None,
                flipped=False, buckets=DEFAULT_BUCKETS):
     """Full query pipeline: (raw BGR image) -> (canvas image [H,W,3],
     im_info (h, w, scale)).  im_info carries the *real* scaled size; the

@@ -63,8 +63,11 @@ class FewShotLoader:
         buckets = buckets or [tuple(b) for b in cfg.TPU.SIZE_BUCKETS]
         scale = scale or (cfg.TRAIN.SCALES[0] if training
                           else cfg.TEST.SCALES[0])
-        max_size = max_size or (cfg.TRAIN.MAX_SIZE if training
-                                else cfg.TEST.MAX_SIZE)
+        if max_size is None:
+            # exact reference scaling ignores the long-side cap entirely
+            # (the reference comments it out, blob.py:44-46)
+            max_size = None if cfg.TPU.EXACT_QUERY_SCALE else \
+                (cfg.TRAIN.MAX_SIZE if training else cfg.TEST.MAX_SIZE)
         self.roidb = roidb
         self.num_classes = num_classes
         self.training = training
@@ -127,8 +130,7 @@ class FewShotLoader:
         """Static canvas this entry lands on (for batch grouping)."""
         e = self.roidb[index]
         h, w = e['height'], e['width']
-        s = min(float(self.scale) / min(h, w),
-                float(self.max_size) / max(h, w))
+        s = blob.query_scale(h, w, self.scale, self.max_size)
         return blob.pick_bucket(round(h * s), round(w * s), self.buckets)
 
     # -- episode assembly --------------------------------------------------

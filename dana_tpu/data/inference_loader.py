@@ -93,7 +93,11 @@ class InferenceLoader:
         from dana_tpu.utils.config import cfg
         buckets = buckets or [tuple(b) for b in cfg.TPU.SIZE_BUCKETS]
         scale = scale or cfg.TEST.SCALES[0]
-        max_size = max_size or cfg.TEST.MAX_SIZE
+        if max_size is None:
+            # exact reference scaling: no long-side cap (blob.py:44-46
+            # comments the cap out in the reference)
+            max_size = None if cfg.TPU.EXACT_QUERY_SCALE else \
+                cfg.TEST.MAX_SIZE
         self.roidb = roidb
         self.pool = pool
         self.max_num_box = max_num_box
@@ -109,8 +113,7 @@ class InferenceLoader:
     def bucket_of(self, index):
         e = self.roidb[index]
         h, w = e['height'], e['width']
-        s = min(float(self.scale) / min(h, w),
-                float(self.max_size) / max(h, w))
+        s = blob.query_scale(h, w, self.scale, self.max_size)
         return blob.pick_bucket(round(h * s), round(w * s), self.buckets)
 
     def target_class(self, index):

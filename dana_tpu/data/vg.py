@@ -44,9 +44,10 @@ def _load_vocab(path):
     names, to_ind = [], {}
     with open(path) as f:
         for line in f:
-            syns = [n.lower().strip() for n in line.split(',') if n.strip()]
-            if not syns:
-                continue
+            # every line advances the index — including blank lines —
+            # so indices stay aligned with a reference-trained checkpoint
+            # (reference vg.py:44-49 counts every readlines() entry)
+            syns = [n.lower().strip() for n in line.split(',')]
             idx = len(names) + 1          # 0 is the background/none slot
             names.append(syns[0])
             for n in syns:

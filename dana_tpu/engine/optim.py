@@ -103,10 +103,20 @@ def sgd_update(params, grads, state: SGDState, *, momentum=0.9,
                      lr=state.lr))
 
 
-def clip_gradients(grads, clip_norm: float):
+def clip_gradients(grads, clip_norm: float, trainable=None):
     """Per-leaf total-norm clip (net_utils.clip_gradient:37-48 semantics:
-    one global norm over all grads, scale if above)."""
+    one global norm over all grads, scale if above).  With `trainable`,
+    the norm covers trainable leaves only — torch's version iterates
+    model.parameters() and skips p.grad None, i.e. frozen params never
+    enter the norm; folding frozen leaves in here would also force their
+    (symbolically zero) backward to materialize."""
+    g_leaves = jax.tree.leaves(grads)
+    t_leaves = (jax.tree.leaves(trainable) if trainable is not None
+                else [True] * len(g_leaves))
     total = jnp.sqrt(sum(jnp.sum(jnp.square(g))
-                         for g in jax.tree.leaves(grads)))
+                         for g, t in zip(g_leaves, t_leaves) if t))
     scale = jnp.minimum(1.0, clip_norm / jnp.maximum(total, 1e-12))
-    return jax.tree.map(lambda g: g * scale, grads)
+    if trainable is None:
+        return jax.tree.map(lambda g: g * scale, grads)
+    return jax.tree.map(lambda g, t: g * scale if t else g, grads,
+                        trainable)

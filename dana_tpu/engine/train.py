@@ -92,13 +92,28 @@ def make_train_step(config: dana.DanaConfig, trainable=None, *, momentum=0.9,
     lightweight failure containment the reference lacks (a NaN batch
     there poisons the run silently)."""
 
+    def _loss(params, batch, key):
+        # Cut the backward chain at frozen subtrees: stop_gradient on
+        # frozen leaves makes their grads symbolic zeros, so XLA DCEs the
+        # backward convs through conv1/bn1/layer1 entirely.  The reference
+        # freezes them outright (requires_grad=False, dana.py:351-368) —
+        # frozen means NO backward work, not "computed then discarded".
+        if trainable is not None:
+            params = jax.tree.map(
+                lambda p, t: p if t else jax.lax.stop_gradient(p),
+                params, trainable)
+        return loss_fn(params, config, batch, key, model)
+
     @jax.jit
     def step(state: TrainState, batch, rng):
         key = jax.random.fold_in(rng, state.step)
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, config, batch, key, model)
+        (loss, metrics), grads = jax.value_and_grad(_loss, has_aux=True)(
+            state.params, batch, key)
         if clip_norm:
-            grads = optim.clip_gradients(grads, clip_norm)
+            # trainable leaves only — torch's clip_gradient only sees
+            # params with grads (net_utils.py:37-48)
+            grads = optim.clip_gradients(grads, clip_norm,
+                                         trainable=trainable)
         new_params, new_opt = optim.sgd_update(
             state.params, grads, state.opt, momentum=momentum,
             weight_decay=weight_decay, double_bias=double_bias,
@@ -109,14 +124,22 @@ def make_train_step(config: dana.DanaConfig, trainable=None, *, momentum=0.9,
                 new_params[mod] = dict(new_params[mod], **stats)
         if skip_nonfinite:
             finite = jnp.isfinite(loss)
-            for g in jax.tree.leaves(grads):
-                finite &= jnp.all(jnp.isfinite(g))
+            g_leaves = jax.tree.leaves(grads)
+            t_leaves = (jax.tree.leaves(trainable) if trainable is not None
+                        else [True] * len(g_leaves))
+            for g, t in zip(g_leaves, t_leaves):
+                if t:   # frozen grads are symbolic zeros; folding them in
+                    # would force their backward to materialize
+                    finite &= jnp.all(jnp.isfinite(g))
+            sel = (lambda n, o, t: jnp.where(finite, n, o) if t else n)
             new_params = jax.tree.map(
-                lambda n, o: jnp.where(finite, n, o), new_params,
-                state.params)
+                sel, new_params, state.params,
+                trainable if trainable is not None
+                else jax.tree.map(lambda _: True, new_params))
             new_opt = new_opt._replace(velocity=jax.tree.map(
-                lambda n, o: jnp.where(finite, n, o), new_opt.velocity,
-                state.opt.velocity))
+                sel, new_opt.velocity, state.opt.velocity,
+                trainable if trainable is not None
+                else jax.tree.map(lambda _: True, new_opt.velocity)))
             metrics['skipped'] = 1.0 - finite.astype(jnp.float32)
         return TrainState(params=new_params, opt=new_opt,
                           step=state.step + 1), metrics

@@ -46,18 +46,19 @@ def make_mesh_2d(devices=None, data: int = 0, model: int = 0) -> Mesh:
     return Mesh(np.array(devices).reshape(data, model), ('data', 'model'))
 
 
-def _tp_spec(path_str: str, leaf) -> P:
+def _tp_spec(path_str: str, leaf, model_size: int = 2) -> P:
     """PartitionSpec for one param leaf under tensor parallelism.
 
     Column-sharding (output features over 'model') for the wide
-    projection/conv weights; everything else replicated.
+    projection/conv weights — only when the output dim divides the
+    mesh's actual 'model' axis extent; everything else replicated.
     """
     tp_cols = ('rpn_adapt_q_layer', 'rpn_adapt_k_layer',
                'rcnn_adapt_q_layer', 'rcnn_adapt_k_layer',
                'RPN_Conv', 'linear1')
     if any(f"['{name}']" in path_str for name in tp_cols) \
             and path_str.endswith("['weight']") and leaf.ndim >= 2 \
-            and leaf.shape[-1] % 2 == 0:
+            and model_size > 0 and leaf.shape[-1] % model_size == 0:
         return P(*([None] * (leaf.ndim - 1) + ['model']))
     return P()
 
@@ -66,9 +67,11 @@ def shard_params_tp(params, mesh: Mesh):
     """Place a param tree with TP column-sharding over mesh axis 'model'
     (biases and small/irregular leaves replicated)."""
     flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+    model_size = dict(zip(mesh.axis_names, mesh.devices.shape)).get(
+        'model', 1)
     out = []
     for path, leaf in flat:
-        spec = _tp_spec(jax.tree_util.keystr(path), leaf)
+        spec = _tp_spec(jax.tree_util.keystr(path), leaf, model_size)
         out.append(jax.device_put(leaf, NamedSharding(mesh, spec)))
     return jax.tree_util.tree_unflatten(treedef, out)
 

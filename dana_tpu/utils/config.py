@@ -145,9 +145,17 @@ def _default_cfg() -> AttrDict:
     c.TPU.PARAM_DTYPE = 'float32'
     # Query images are padded onto static (H, W) bucket canvases so each
     # bucket compiles exactly once (replaces per-batch dynamic padding).
-    # Covers shortest-side-600 / max-1000 scaling (landscape, portrait,
-    # near-square).
-    c.TPU.SIZE_BUCKETS = [(608, 1024), (1024, 608), (704, 704)]
+    # Covers shortest-side-600 uncapped scaling up to aspect 2 (landscape,
+    # portrait, near-square, wide); rarer aspects snap to a synthesized
+    # canvas (blob.snap_bucket).
+    c.TPU.SIZE_BUCKETS = [(608, 1024), (1024, 608), (704, 704),
+                          (608, 1216), (1216, 608)]
+    # The reference's MAX_SIZE long-side cap is commented out
+    # (blob.py:44-46): its effective query scale is PURELY shortest-side.
+    # True (default) reproduces that exactly; False restores the capped
+    # py-faster-rcnn scaling using TRAIN/TEST.MAX_SIZE (explicit
+    # deviation knob, bounds canvas sizes on memory-tight setups).
+    c.TPU.EXACT_QUERY_SCALE = True
     # Cap on boxes entering fixed-shape NMS (memory/latency bound); the
     # reference's TRAIN.RPN_PRE_NMS_TOP_N=12000 is honored up to this cap.
     c.TPU.NMS_MAX_INPUT = 6000

@@ -85,6 +85,60 @@ def load_dana_checkpoint(path: str, allow_pickle: bool = False):
     return convert_dana_state_dict(state), extra
 
 
+def export_dana_state_dict(params: dict) -> dict:
+    """Inverse of convert_dana_state_dict: nested dana_tpu param tree ->
+    flat reference-named torch-layout state dict (numpy arrays).
+
+    Used by the dress-rehearsal harness to author a reference-style
+    model_<e>_<s>.pth (the exact wrapper train.py:183-189 writes) from
+    our params, so the README's verbatim inference command can be
+    exercised against the exact checkpoint format.  Adds the
+    num_batches_tracked buffers torch BN state dicts carry."""
+    inv = {v: k for k, v in _BASE_MAP.items()}
+    flat = {}
+
+    def walk(node, prefix):
+        for k, v in node.items():
+            name = f'{prefix}.{k}' if prefix else k
+            if isinstance(v, dict):
+                walk(v, name)
+            else:
+                flat[name] = np.asarray(v)
+    walk(params, '')
+
+    out = {}
+    for name, v in flat.items():
+        mapped = name
+        for src, dst in inv.items():
+            if name.startswith(src + '.'):
+                mapped = dst + name[len(src):]
+                break
+        if v.ndim == 4:                      # conv HWIO -> OIHW
+            v = np.ascontiguousarray(v.transpose(3, 2, 0, 1))
+        elif v.ndim == 2 and mapped.endswith('weight'):
+            v = np.ascontiguousarray(v.T)    # linear [in,out] -> [out,in]
+        out[mapped] = v
+        if mapped.endswith('running_var'):
+            out[mapped[:-len('running_var')] + 'num_batches_tracked'] = \
+                np.asarray(0, np.int64)
+    return out
+
+
+def save_reference_pth(path: str, params: dict, epoch: int = 4,
+                       pooling_mode: str = 'align', lr=None):
+    """Write params as a reference-format checkpoint (train.py:183-189
+    payload: {'model', 'epoch', 'optimizer', 'pooling_mode'})."""
+    import torch
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+          for k, v in export_dana_state_dict(params).items()}
+    payload = {'model': sd, 'epoch': epoch, 'optimizer': {},
+               'pooling_mode': pooling_mode}
+    if lr is not None:
+        payload['lr'] = lr
+    torch.save(payload, path)
+    return path
+
+
 def load_caffe_resnet(path: str, allow_pickle: bool = False) -> dict:
     """Backbone-only checkpoint (data/pretrained_model/resnet50_caffe.pth,
     dana.py:330,339-341) -> backbone param subtree."""

@@ -49,6 +49,14 @@ def main(argv=None):
     if args.checkpath or args.resume:
         path = args.checkpath or ckpt_lib.checkpoint_path(
             args.load_dir, args.checkepoch, args.checkpoint)
+        if not os.path.exists(path):
+            # the README inference command points --load_dir at a torch
+            # checkpoint tree (model_4_299.pth): fall back across formats
+            base, ext = os.path.splitext(path)
+            for cand in (base + '.pth', f'{base}_preempt{ext}'):
+                if os.path.exists(cand):
+                    path = cand
+                    break
         payload = ckpt_lib.load_checkpoint(path)
         params = payload['model']
         cfg.POOLING_MODE = payload.get('pooling_mode', cfg.POOLING_MODE)
@@ -147,32 +155,36 @@ def main(argv=None):
 
     t0 = time.time()
     n_done = 0
-    for ci in range(len(chunks)):
-        chunk, items, batch, classes = pending[ci].result()
-        pending[ci] = None     # release the decoded batch once consumed
-        if next_submit < len(chunks):
-            pending.append(pool_exec.submit(assemble,
-                                            chunks[next_submit]))
-            next_submit += 1
-        if use_sup_cache:
-            support_arg = batch_support_feats(classes)
-        else:
-            support_arg = jnp.asarray(batch['support_ims'])
-        dets, valid = predict(params, jnp.asarray(batch['im_data']),
-                              jnp.asarray(batch['im_info']),
-                              support_arg)
-        dets = np.asarray(dets)
-        valid = np.asarray(valid)
-        for bi, img_idx in enumerate(chunk):
-            cls = items[bi]['target_cls']
-            d = dets[bi][valid[bi]]
-            all_boxes[int(cls)][img_idx] = d
-        n_done += len(chunk)
-        if n_done % (20 * eval_bs) < eval_bs:
-            dt = time.time() - t0
-            print(f'{n_done}/{num_images} imgs, '
-                  f'{n_done / dt:.2f} img/s', flush=True)
-    pool_exec.shutdown(wait=False)
+    try:
+        for ci in range(len(chunks)):
+            chunk, items, batch, classes = pending[ci].result()
+            pending[ci] = None     # release the decoded batch once consumed
+            if next_submit < len(chunks):
+                pending.append(pool_exec.submit(assemble,
+                                                chunks[next_submit]))
+                next_submit += 1
+            if use_sup_cache:
+                support_arg = batch_support_feats(classes)
+            else:
+                support_arg = jnp.asarray(batch['support_ims'])
+            dets, valid = predict(params, jnp.asarray(batch['im_data']),
+                                  jnp.asarray(batch['im_info']),
+                                  support_arg)
+            dets = np.asarray(dets)
+            valid = np.asarray(valid)
+            for bi, img_idx in enumerate(chunk):
+                cls = items[bi]['target_cls']
+                d = dets[bi][valid[bi]]
+                all_boxes[int(cls)][img_idx] = d
+            n_done += len(chunk)
+            if n_done % (20 * eval_bs) < eval_bs:
+                dt = time.time() - t0
+                print(f'{n_done}/{num_images} imgs, '
+                      f'{n_done / dt:.2f} img/s', flush=True)
+    finally:
+        # on any predict/assemble failure, cancel queued assembles so
+        # decoded batches don't stay pinned in memory
+        pool_exec.shutdown(wait=False, cancel_futures=True)
 
     out_dir = args.eval_dir or os.path.join(args.save_dir, 'eval')
     os.makedirs(out_dir, exist_ok=True)

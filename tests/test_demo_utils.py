@@ -36,11 +36,21 @@ def test_preprocess_shapes():
     sup = cli_utils.support_im_preprocess(im, cfg, n_of_shot=2)
     assert sup.shape == (2, 320, 320, 3)
     q, info = cli_utils.query_im_preprocess(im, cfg)
-    # content scaled shortest-side-96 capped at MAX_SIZE 128 (info holds
-    # the real extent; q is the static bucket canvas)
-    assert (info[0], info[1]) == (91, 128)
-    np.testing.assert_allclose(info[2], 128 / 140, rtol=1e-5)
-    assert q.shape[0] >= 91 and q.shape[1] >= 128
+    # exact reference scaling: shortest-side-96, NO long-side cap (the
+    # reference comments the MAX_SIZE cap out, blob.py:44-46); info holds
+    # the real extent, q is the static bucket canvas
+    assert (info[0], info[1]) == (96, 134)
+    np.testing.assert_allclose(info[2], 96 / 100, rtol=1e-5)
+    assert q.shape[0] >= 96 and q.shape[1] >= 134
+
+    # the capped py-faster-rcnn behavior stays available as a knob
+    try:
+        cfg.TPU.EXACT_QUERY_SCALE = False
+        q2, info2 = cli_utils.query_im_preprocess(im, cfg)
+        assert (info2[0], info2[1]) == (91, 128)
+        np.testing.assert_allclose(info2[2], 128 / 140, rtol=1e-5)
+    finally:
+        cfg.TPU.EXACT_QUERY_SCALE = True
 
 
 def test_run_detection_and_pseudo_label(tmp_path):

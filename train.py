@@ -76,10 +76,25 @@ def main(argv=None):
                                         use_flipped=args.use_flip)
     print(f'{len(roidb)} roidb entries')
 
-    loader = FewShotLoader(roidb, imdb_.num_classes, num_way=args.way,
-                           num_shot=args.shot,
-                           max_num_box=cfg.MAX_NUM_GT_BOXES,
-                           seed=args.seed)
+    if args.fewshot:
+        # finetune flow (--fs): supports come from the directory pool
+        # data/supports/<cls>/*.jpg instead of the crop DB, and only the
+        # detection heads train — the protocol that produced the released
+        # cisa_coco_ft30 checkpoint (reference finetune_loader.py:99-149
+        # + FasterRCNN.finetune, faster_rcnn.py:192-204)
+        from dana_tpu.data.fs_loader import FinetuneLoader
+        sup_dir = (os.path.join(cfg.DATA_DIR, 'supports')
+                   if args.sup_dir == 'all' else args.sup_dir)
+        loader = FinetuneLoader(roidb, imdb_.num_classes,
+                                imdb_.classes, sup_dir,
+                                num_way=args.way, num_shot=args.shot,
+                                max_num_box=cfg.MAX_NUM_GT_BOXES,
+                                seed=args.seed)
+    else:
+        loader = FewShotLoader(roidb, imdb_.num_classes, num_way=args.way,
+                               num_shot=args.shot,
+                               max_num_box=cfg.MAX_NUM_GT_BOXES,
+                               seed=args.seed)
     batcher = EpisodicBatcher(loader, args.batch_size, shuffle=True,
                               seed=args.seed)
 
@@ -93,8 +108,13 @@ def main(argv=None):
     if args.resume:
         path = args.checkpath or ckpt_lib.checkpoint_path(
             args.load_dir, args.checkepoch, args.checkpoint)
-        if not os.path.exists(path) and path.endswith('.dkpt'):
-            path = path[:-5] + '.pth'
+        if not os.path.exists(path):
+            base, ext = os.path.splitext(path)
+            for cand in (f'{base}_preempt{ext}', base + '.pth',
+                         base + '_preempt.pth'):
+                if os.path.exists(cand):
+                    path = cand
+                    break
         payload = ckpt_lib.load_checkpoint(path)
         params = to_jnp(payload['model'])
         lr = payload.get('lr') or lr
@@ -105,6 +125,11 @@ def main(argv=None):
 
     trainable = optim.trainable_mask(params,
                                      fixed_blocks=cfg.RESNET.FIXED_BLOCKS)
+    if args.fewshot:
+        # heads-only finetuning (faster_rcnn.py:192-204 freezes everything
+        # but the cls/bbox heads)
+        trainable = jax.tree.map(lambda a, b: a and b, trainable,
+                                 optim.finetune_mask(params))
     step_kw = dict(momentum=cfg.TRAIN.MOMENTUM,
                    weight_decay=cfg.TRAIN.WEIGHT_DECAY,
                    double_bias=cfg.TRAIN.DOUBLE_BIAS,
@@ -230,6 +255,11 @@ def main(argv=None):
         ckpt_epoch = epoch - 1 if guard.requested else epoch
         path = ckpt_lib.checkpoint_path(args.save_dir, ckpt_epoch,
                                         steps - 1)
+        if guard.requested:
+            # distinct name so a partial-epoch save can never clobber a
+            # genuine completed-epoch checkpoint with the same indices
+            base, ext = os.path.splitext(path)
+            path = f'{base}_preempt{ext}'
         host_state = jax.device_get(state)
         path = ckpt_lib.save_checkpoint(
             path, host_state.params, host_state.opt, epoch=ckpt_epoch,

@@ -214,11 +214,13 @@ def support_im_preprocess(im, cfg, support_size=320, n_of_shot=1):
 
 
 def query_im_preprocess(im, cfg):
-    """600-shortest-side query blob (reference utils.py:229-239)."""
+    """600-shortest-side query blob (reference utils.py:229-239; the
+    MAX_SIZE cap it nominally passes is inert in the reference —
+    blob.py:44-46 comments it out)."""
     from dana_tpu.data import blob
+    max_size = None if cfg.TPU.EXACT_QUERY_SCALE else cfg.TRAIN.MAX_SIZE
     im_data, im_info = blob.query_blob(im, cfg.PIXEL_MEANS,
-                                       cfg.TRAIN.SCALES[0],
-                                       cfg.TRAIN.MAX_SIZE)
+                                       cfg.TRAIN.SCALES[0], max_size)
     return im_data, im_info
 
 
