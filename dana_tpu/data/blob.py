@@ -106,6 +106,45 @@ def query_blob(im, pixel_means, target_size=600, max_size=None,
     return pad_to_canvas(im, canvas), np.array([h, w, scale], np.float32)
 
 
+def s2d_pack(im):
+    """HOST-side 2x2 space-to-depth packing for the ResNet stem.
+
+    [(B,) H, W, 3] -> [(B,) H/2+3, W/2+3, 12] with the conv1 pad-3
+    pre-applied, so the device stem is a dense 4x4/1 VALID conv over 12
+    channels instead of a 7x7/2 conv over 3 (4x less TPU lane waste; the
+    DEVICE-side reshape was measured slower than the waste it removes —
+    resnet._conv7x7s2_s2d docstring — but numpy packing is absorbed by
+    the loader pipeline).  Exact: resnet.conv1_s2d(s2d_pack(x)) equals
+    the direct conv1 (tests/test_stem_s2d.py).  Requires even H, W —
+    true for every bucket canvas (all multiples of 16)."""
+    single = im.ndim == 3
+    if single:
+        im = im[None]
+    b, h, w, c = im.shape
+    assert h % 2 == 0 and w % 2 == 0, (h, w)
+    xp = np.zeros((b, h + 6, w + 6, c), im.dtype)
+    xp[:, 3:3 + h, 3:3 + w] = im
+    hp, wp = h + 6, w + 6
+    # four strided slice-copies instead of a 6-D transpose (the transpose
+    # formulation measured 170 ms per bs8 batch on one core; slicing is
+    # ~10x cheaper and the output channel order (row-phase, col-phase, c)
+    # is identical)
+    xd = np.empty((b, hp // 2, wp // 2, 4 * c), im.dtype)
+    for i2 in range(2):
+        for j2 in range(2):
+            k = (i2 * 2 + j2) * c
+            xd[..., k:k + c] = xp[:, i2::2, j2::2, :]
+    return xd[0] if single else xd
+
+
+def s2d_pack_any(x):
+    """s2d_pack over arbitrary leading dims ([..., H, W, 3])."""
+    lead = x.shape[:-3]
+    flat = x.reshape((-1,) + x.shape[-3:])
+    out = s2d_pack(flat)
+    return out.reshape(lead + out.shape[1:])
+
+
 def support_blob(im, box, pixel_means, out_size=320):
     """Crop a support box, resize long side -> out_size, zero-pad to
     [out_size, out_size, 3].  Parity: fs_loader.py:103-138 (crop includes

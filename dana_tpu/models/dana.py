@@ -60,7 +60,12 @@ class DanaConfig:
     test_pre_nms: int = 6000
     test_post_nms: int = 300
     rpn_nms_thresh: float = 0.7
-    nms_cap: int = 6000
+    # Pre-NMS candidate cap for the fixed-shape tiled NMS.  12000 honors
+    # the reference's full TRAIN.RPN_PRE_NMS_TOP_N (proposal_layer.py:
+    # 135-190); a 6000 cap measured -0.25 proposal recall@0.5 when it
+    # binds (tools/nms_cap_study.py, PERF.md r3).  TEST pre-NMS is 6000,
+    # so eval never reaches the cap.
+    nms_cap: int = 12000
     # target layers
     rpn_batchsize: int = 256
     rpn_fg_fraction: float = 0.5
@@ -294,13 +299,16 @@ def rcnn_head(params, config: DanaConfig, pooled_feat, support_pooled,
 def extract_support_feats(params, config: DanaConfig, support_ims):
     """Backbone + pooling on supports.
 
-    support_ims: [B, n, 320, 320, 3] -> (tokens feat [B, n, 20, 20, 1024],
-    pooled [B, n, 7, 7, 1024]) (dana.py:100-108: AvgPool2d(14, stride=1))."""
-    b, n, sh, sw, _ = support_ims.shape
-    assert sh >= 224 and sw >= 224, (
-        f'support images must be >= 224px (got {sh}x{sw}): the fixed '
+    support_ims: [B, n, 320, 320, 3] (or host-packed space-to-depth
+    [B, n, 163, 163, 12], blob.s2d_pack) -> (tokens feat
+    [B, n, 20, 20, 1024], pooled [B, n, 7, 7, 1024])
+    (dana.py:100-108: AvgPool2d(14, stride=1))."""
+    b, n, sh, sw, c = support_ims.shape
+    eff_h, eff_w = ((sh - 3) * 2, (sw - 3) * 2) if c == 12 else (sh, sw)
+    assert eff_h >= 224 and eff_w >= 224, (
+        f'support images must be >= 224px (got {eff_h}x{eff_w}): the fixed '
         f'AvgPool2d(14) of dana.py:105 needs a >= 14x14 feature map')
-    flat = support_ims.reshape(b * n, sh, sw, 3).astype(config.compute_dtype)
+    flat = support_ims.reshape(b * n, sh, sw, c).astype(config.compute_dtype)
     feats = backbone_base(params, config, flat)
     pooled = L.avg_pool(feats, window=14, stride=1)
     fh, fw, c = feats.shape[1:]

@@ -111,19 +111,47 @@ def _conv7x7s2_s2d(x, params):
     return y
 
 
+def conv1_s2d(xd, conv1):
+    """conv1 on a HOST-packed space-to-depth input (blob.s2d_pack):
+    dense 4x4/1 VALID conv over 12 channels.  The 7x7 kernel is
+    zero-extended to 8x8 and rewritten per 2x2 phase (same transform as
+    _conv7x7s2_s2d, but the reshape/transpose happened on the host)."""
+    w7 = conv1['weight']                                    # [7,7,3,64]
+    c, cout = w7.shape[2], w7.shape[3]
+    w8 = jnp.pad(w7, ((0, 1), (0, 1), (0, 0), (0, 0)))      # [8,8,3,64]
+    w4 = w8.reshape(4, 2, 4, 2, c, cout)
+    w4 = w4.transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 4 * c, cout)
+    y = jax.lax.conv_general_dilated(
+        xd, w4.astype(xd.dtype), window_strides=(1, 1), padding='VALID',
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+    if 'bias' in conv1:
+        y = y + conv1['bias'].astype(y.dtype)
+    return y
+
+
 def stem(x, params):
     """conv1 + bn1 + relu + ceil-mode maxpool (resnet.py:111-113).
 
-    Uses the direct 7x7/2 convolution: the space-to-depth rewrite
-    (_conv7x7s2_s2d) was measured SLOWER on v5e (6.3 ms vs 2.8 ms at
-    bs8 608x800) — the host-side reshape/transpose of a 3-channel
-    tensor is lane-padded 3->128 and costs more than the lane waste it
-    removes.  Kept (tested, exact) for configs where XLA's direct conv
-    regresses."""
-    x = L.conv2d(x, params['conv1'], stride=2, padding=3)
+    Two input layouts, dispatched statically on the channel count:
+      * [B, H, W, 3] — the direct 7x7/2 convolution.
+      * [B, H/2+3, W/2+3, 12] — HOST-packed space-to-depth
+        (blob.s2d_pack): only the dense 4x4/1 conv runs on device.
+        The DEVICE-side s2d rewrite (_conv7x7s2_s2d) was measured
+        SLOWER on v5e (6.3 ms vs 2.8 ms at bs8 608x800) because the
+        3-channel reshape/transpose is lane-padded 3->128; host packing
+        removes that cost from the device entirely."""
+    if x.shape[-1] == 12:
+        x = conv1_s2d(x, params['conv1'])
+    else:
+        x = L.conv2d(x, params['conv1'], stride=2, padding=3)
     x = L.frozen_batchnorm(x, params['bn1'])
     x = _relu(x)
     return L.max_pool(x, window=3, stride=2, padding=0, ceil_mode=True)
+
+
+def stem_s2d(xd, params):
+    """Full stem on a host-packed input (tools/stem_experiment.py)."""
+    return stem(xd, params)
 
 
 def base_forward(x, params, arch='resnet50'):

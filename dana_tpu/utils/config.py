@@ -156,9 +156,21 @@ def _default_cfg() -> AttrDict:
     # py-faster-rcnn scaling using TRAIN/TEST.MAX_SIZE (explicit
     # deviation knob, bounds canvas sizes on memory-tight setups).
     c.TPU.EXACT_QUERY_SCALE = True
-    # Cap on boxes entering fixed-shape NMS (memory/latency bound); the
-    # reference's TRAIN.RPN_PRE_NMS_TOP_N=12000 is honored up to this cap.
-    c.TPU.NMS_MAX_INPUT = 6000
+    # Host-side 2x2 space-to-depth packing of query/support images for
+    # the ResNet stem (blob.s2d_pack -> resnet.conv1_s2d): the direct
+    # 7x7/2 conv on 3 channels runs at 1.8% MFU (TPU lanes are 128 wide);
+    # packing on the host makes the device stem a 4x4/1 conv over 12
+    # channels (3.0 -> 1.7 ms per bs8 stem, exactness-tested).  The pack
+    # costs ~12 ms/img of host numpy absorbed by the loader pipeline;
+    # ignored for vgg16 (no 7x7/2 stem).
+    c.TPU.STEM_S2D = True
+    # Cap on boxes entering fixed-shape NMS (memory/latency bound).
+    # 12000 honors the reference's TRAIN.RPN_PRE_NMS_TOP_N in full: a
+    # 6000 cap measured -0.25 proposal recall@0.5 where it binds
+    # (tools/nms_cap_study.py; PERF.md round 3).  The tiled NMS's early
+    # exit keeps the cost increase small; lower this on memory-tight
+    # setups.
+    c.TPU.NMS_MAX_INPUT = 12000
     c.TPU.MESH_DATA_AXIS = 'data'
 
     return c

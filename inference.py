@@ -95,7 +95,10 @@ def main(argv=None):
         re-runs the support backbone for every query image)."""
         for c in {int(c) for c in classes}:
             if c not in _sup_cache:
-                s = jnp.asarray(pool.get(c))[None]
+                s = np.asarray(pool.get(c))[None]
+                if pack_s2d:
+                    s = blob_lib.s2d_pack_any(s)
+                s = jnp.asarray(s)
                 _sup_cache[c] = encode_supports(params, s)
         fs = [_sup_cache[int(c)] for c in classes]
         return (jnp.concatenate([f[0] for f in fs]),
@@ -133,13 +136,22 @@ def main(argv=None):
               for _, idxs in sorted(groups.items())
               for s in range(0, len(idxs), eval_bs)]
 
+    from dana_tpu.data import blob as blob_lib
+    pack_s2d = bool(cfg.TPU.STEM_S2D) and args.backbone != 'vgg16'
+
     def assemble(chunk):
-        """Host-side batch assembly (imread/resize/pad) for one chunk."""
+        """Host-side batch assembly (imread/resize/pad + optional stem
+        space-to-depth packing) for one chunk — runs in the thread pool,
+        overlapped with device compute."""
         pad = eval_bs - len(chunk)
         items = [loader[i] for i in chunk]
         batch = {k: np.stack([it[k] for it in items] +
                              [items[-1][k]] * pad)
                  for k in ('im_data', 'im_info', 'support_ims')}
+        if pack_s2d:
+            batch['im_data'] = blob_lib.s2d_pack(batch['im_data'])
+            batch['support_ims'] = blob_lib.s2d_pack_any(
+                batch['support_ims'])
         classes = [it['target_cls'] for it in items] \
             + [items[-1]['target_cls']] * pad
         return chunk, items, batch, classes

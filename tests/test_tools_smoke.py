@@ -1,0 +1,82 @@
+"""Smoke tests for tools/ (VERDICT r2 weak #8: keep them from rotting).
+
+TPU-only tools get CPU-runnable dry tiers; heavyweight paths stay
+env-gated where a 1-core CPU compile would blow the CI budget.
+"""
+
+import os
+import os.path as osp
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+
+REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
+
+
+def test_bench_coco_eval_quick():
+    from tools import bench_coco_eval as bce
+    gt, dt, img_ids, cat_ids = bce.synth(30, 4)
+    from dana_tpu.eval import coco_eval as ce
+    res = ce.evaluate_detections(gt, dt, img_ids=img_ids,
+                                 cat_ids=cat_ids)
+    assert 0.0 <= res['stats'][0] <= 1.0
+    # the r2-baseline matcher used for the speedup claim agrees with the
+    # production path on stats-relevant outputs
+    cid = cat_ids[0]
+    dets = dt.loadAnns(dt.getAnnIds(imgIds=img_ids[0], catIds=[cid]))
+    gts = gt.loadAnns(gt.getAnnIds(imgIds=img_ids[0], catIds=[cid]))
+    if dets or gts:
+        rng = list(ce.AREA_RNG.values())[0]
+        a = bce._evaluate_img_r2(dets, gts, rng, 100)
+        b = ce._evaluate_img(dets, gts, rng, 100)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_scaling_study_importable_and_shapes():
+    from tools import scaling_study
+    b = scaling_study._batch(2)
+    assert b['im_data'].shape == (2, 64, 96, 3)
+    assert b['support_ims'].shape[1] == 4
+
+
+def test_nms_cap_study_recall_helper():
+    from tools.nms_cap_study import proposal_recall
+    rois = np.array([[0, 10, 10, 50, 50], [0, 100, 100, 150, 150]],
+                    np.float32)
+    gts = np.array([[12, 12, 48, 48, 1], [300, 300, 340, 340, 1]],
+                   np.float32)
+    r = proposal_recall(rois, gts)
+    assert r == pytest.approx(0.5)
+    assert proposal_recall(rois, gts[:0]) is None
+
+
+def test_profile_train_masks():
+    from tools.profile_train import _mask_from_prefixes, _and_masks
+    params = {'backbone': {'layer4': {'w': np.zeros(1)},
+                           'layer1': {'w': np.zeros(1)}},
+              'RCNN_bbox_pred': {'weight': np.zeros(1)}}
+    m = _mask_from_prefixes(params, ['heads', 'backbone.layer4'])
+    assert m['backbone']['layer4']['w'] is True
+    assert m['backbone']['layer1']['w'] is False
+    assert m['RCNN_bbox_pred']['weight'] is True
+    both = _and_masks(m, m)
+    assert both['backbone']['layer4']['w'] is True
+
+
+@pytest.mark.skipif(not os.environ.get('DANA_TOOL_SMOKE'),
+                    reason='compiles train fwd/bwd stages (~minutes on '
+                           '1 CPU core); set DANA_TOOL_SMOKE=1')
+def test_profile_train_dry_runs():
+    env = dict(os.environ, PROF_DRY='1', PYTHONPATH=REPO,
+               JAX_PLATFORMS='cpu')
+    env.pop('PYTHONSTARTUP', None)
+    out = subprocess.run(
+        [sys.executable, osp.join(REPO, 'tools', 'profile_train.py')],
+        env=env, capture_output=True, text=True, timeout=3000)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert 'frozen-grad saving' in out.stdout

@@ -34,8 +34,12 @@ _cli.enable_compilation_cache()
 
 from dana_tpu.utils.config import cfg_from_list
 
-cfg_from_list(['TEST.SCALES', '(304,)',
-               'TPU.SIZE_BUCKETS', '[(304, 512), (512, 304), (416, 416)]'])
+# Reference TEST scale 600: synth 480x640 images land on (608, 1024)
+# canvases -> 38x64 feature grid -> ~29k anchors, so the pre-NMS
+# top-12000 and the 6000 cap genuinely differ (at synth's native 304
+# scale only 7.3k anchors exist and the cap never binds: measured
+# recall delta exactly 0 there).
+cfg_from_list(['TEST.SCALES', '(600,)'])
 
 from dana_tpu.core.boxes import iou_matrix
 from dana_tpu.data.imdb import combined_roidb
@@ -54,7 +58,7 @@ def proposal_recall(rois, gts, thr=0.5):
     return float((ious.max(axis=0) >= thr).mean())
 
 
-def main(ckpt='.scratch/synth_final_res50.dkpt', n_images=16, shot=2):
+def main(ckpt='.scratch/synth_final_res50.dkpt', n_images=8, shot=2):
     imdb_tr, roidb_tr, _, _ = combined_roidb('synth_train', training=False,
                                              use_flipped=False)
     imdb_te, roidb_te, _, _ = combined_roidb('synth_test', training=False,

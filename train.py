@@ -159,6 +159,18 @@ def main(argv=None):
         from dana_tpu.utils.fsod_logger import FSODLogger
         logger = FSODLogger(os.path.join(args.save_dir, 'tb'))
 
+    # host-side stem space-to-depth packing (blob.s2d_pack): the device
+    # stem becomes a 4x4/1 conv over 12 channels (PERF.md round 3)
+    from dana_tpu.data import blob as blob_lib
+    pack_s2d = bool(cfg.TPU.STEM_S2D) and args.backbone != 'vgg16'
+
+    def _pack_batch_s2d(b):
+        b = dict(b)
+        b['im_data'] = blob_lib.s2d_pack(np.asarray(b['im_data']))
+        b['support_ims'] = blob_lib.s2d_pack_any(
+            np.asarray(b['support_ims']))
+        return b
+
     rng = jax.random.PRNGKey(args.seed)
     global_step = 0
     guard = PreemptionGuard().install()
@@ -175,6 +187,8 @@ def main(argv=None):
         t0 = time.time()
         loss_acc = {}
         it = iter(batcher)
+        if pack_s2d:
+            it = (_pack_batch_s2d(b) for b in it)
         if mesh is not None:
             it = (train_engine.shard_batch(b, mesh) for b in it)
         it = prefetch_to_device(it)
