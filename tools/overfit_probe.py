@@ -32,6 +32,10 @@ trainable = optim.trainable_mask(params)
 state = te.create_train_state(params, 2e-3)
 
 def loss(params, ep, rng):
+    # cut backward at frozen leaves (engine/train.py pattern)
+    params = jax.tree.map(
+        lambda p, t: p if t else jax.lax.stop_gradient(p),
+        params, trainable)
     return te.loss_fn(params, config, ep, rng)
 
 @jax.jit
@@ -39,7 +43,7 @@ def epoch(state, rng):
     def body(st, ep):
         key = jax.random.fold_in(rng, st.step)
         (l, m), g = jax.value_and_grad(loss, has_aux=True)(st.params, ep, key)
-        g = optim.clip_gradients(g, 10.0)
+        g = optim.clip_gradients(g, 10.0, trainable=trainable)
         p2, o2 = optim.sgd_update(st.params, g, st.opt, trainable=trainable)
         return te.TrainState(p2, o2, st.step+1), m['loss']
     st, losses = jax.lax.scan(body, state, batch)

@@ -76,6 +76,12 @@ def main(epochs=20, train_name='synth_train', test_name='synth_test',
           f'in {time.time() - t0:.0f}s', flush=True)
 
     def loss(params, ep, rng):
+        # cut backward at frozen leaves (engine/train.py does the same):
+        # without this the scan materializes conv1/bn1/layer1 backward
+        # it then throws away (~1.7x step cost, PERF.md round 3)
+        params = jax.tree.map(
+            lambda p, t: p if t else jax.lax.stop_gradient(p),
+            params, trainable)
         ep = dict(ep,
                   im_data=ep['im_data'].reshape(im_shape),
                   support_ims=ep['support_ims'].reshape(sup_shape))
@@ -90,7 +96,7 @@ def main(epochs=20, train_name='synth_train', test_name='synth_test',
             key = jax.random.fold_in(rng, st.step)
             (_, m), g = jax.value_and_grad(loss, has_aux=True)(
                 st.params, ep, key)
-            g = optim.clip_gradients(g, 10.0)
+            g = optim.clip_gradients(g, 10.0, trainable=trainable)
             p2, o2 = optim.sgd_update(st.params, g, st.opt,
                                       trainable=trainable)
             return te.TrainState(p2, o2, st.step + 1), m['loss']
