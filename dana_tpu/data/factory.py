@@ -182,6 +182,10 @@ def _register_all():
                                                     num_images=240))
     _register('synth_test_big', lambda: synth_fsod('test_big',
                                                    num_images=60))
+    # end-to-end CLI throughput runs (host decode + pack + device):
+    # large enough that steady-state dominates compile/warmup
+    _register('synth_test_400', lambda: synth_fsod('test_400',
+                                                   num_images=400))
 
 
 _register_all()

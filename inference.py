@@ -125,6 +125,23 @@ def main(argv=None):
 
     # group images by bucket for static batches
     eval_bs = max(1, args.batch_size)
+
+    # --mGPUs: data-parallel eval over all local devices — query batch
+    # sharded on the mesh's 'data' axis, params/support-features
+    # replicated; XLA partitions the whole forward (the reference's only
+    # eval parallelism is none — inference.py:88 runs bs=1 serially)
+    eval_mesh = None
+    if args.mGPUs and len(jax.devices()) > 1:
+        from dana_tpu import parallel as par
+        eval_mesh = par.make_mesh()
+        n_dev = len(jax.devices())
+        eval_bs = max(eval_bs, n_dev)
+        eval_bs += (-eval_bs) % n_dev          # divisible by device count
+        params = par.replicate(params, eval_mesh)
+        print(f'data-parallel eval over {n_dev} devices (bs {eval_bs})')
+
+        _batch_sharding = jax.sharding.NamedSharding(
+            eval_mesh, jax.sharding.PartitionSpec('data'))
     groups = {}
     for i in range(num_images):
         groups.setdefault(loader.bucket_of(i), []).append(i)
@@ -179,9 +196,15 @@ def main(argv=None):
                 support_arg = batch_support_feats(classes)
             else:
                 support_arg = jnp.asarray(batch['support_ims'])
-            dets, valid = predict(params, jnp.asarray(batch['im_data']),
-                                  jnp.asarray(batch['im_info']),
-                                  support_arg)
+            im_arg = jnp.asarray(batch['im_data'])
+            info_arg = jnp.asarray(batch['im_info'])
+            if eval_mesh is not None:
+                im_arg = jax.device_put(im_arg, _batch_sharding)
+                info_arg = jax.device_put(info_arg, _batch_sharding)
+                support_arg = jax.tree.map(
+                    lambda x: jax.device_put(x, _batch_sharding),
+                    support_arg)
+            dets, valid = predict(params, im_arg, info_arg, support_arg)
             dets = np.asarray(dets)
             valid = np.asarray(valid)
             for bi, img_idx in enumerate(chunk):

@@ -49,3 +49,40 @@ def test_inference_cli_smoke(tmp_path, monkeypatch):
             if isinstance(d, np.ndarray) and len(d):
                 assert d.shape[1] == 5
                 assert np.all(np.isfinite(d))
+
+
+def test_inference_cli_mgpus_matches_single(tmp_path, monkeypatch):
+    """--mGPUs data-parallel eval (batch sharded over the CPU mesh)
+    produces the same detections as the single-device run."""
+    import jax
+    if len(jax.devices()) < 4:
+        pytest.skip('needs multi-device CPU platform')
+    monkeypatch.setenv('DANA_SYNTH_ROOT', str(tmp_path / 'synth'))
+
+    import inference as inference_cli
+    base = [
+        '--dataset', 'synth', '--net', 'DAnA', '--backbone', 'res50',
+        '--way', '1', '--shot', '1', '--seed', '5',
+        '--set',
+        'TEST.SCALES', '(128,)', 'TEST.MAX_SIZE', '192',
+        'TEST.RPN_PRE_NMS_TOP_N', '300', 'TEST.RPN_POST_NMS_TOP_N', '32',
+        'TPU.NMS_MAX_INPUT', '300',
+        'TPU.SIZE_BUCKETS', '[(128, 192), (192, 128), (160, 160)]',
+    ]
+    out1 = str(tmp_path / 'eval1')
+    inference_cli.main(base + ['--bs', '4', '--eval_dir', out1])
+    out2 = str(tmp_path / 'eval2')
+    inference_cli.main(base + ['--bs', '4', '--eval_dir', out2,
+                               '--mGPUs'])
+
+    with open(osp.join(out1, 'detections.pkl'), 'rb') as f:
+        a = pickle.load(f)
+    with open(osp.join(out2, 'detections.pkl'), 'rb') as f:
+        b = pickle.load(f)
+    for ca, cb in zip(a, b):
+        for da, db in zip(ca, cb):
+            da = np.asarray(da) if isinstance(da, np.ndarray) else None
+            db = np.asarray(db) if isinstance(db, np.ndarray) else None
+            assert (da is None) == (db is None)
+            if da is not None and len(da):
+                np.testing.assert_allclose(da, db, rtol=1e-4, atol=1e-4)
