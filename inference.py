@@ -165,7 +165,9 @@ def main(argv=None):
         batch = {k: np.stack([it[k] for it in items] +
                              [items[-1][k]] * pad)
                  for k in ('im_data', 'im_info', 'support_ims')}
-        if pack_s2d:
+        if pack_s2d and batch['im_data'].shape[1] % 2 == 0 \
+                and batch['im_data'].shape[2] % 2 == 0:
+            # odd custom canvases fall back to the direct 3-channel stem
             batch['im_data'] = blob_lib.s2d_pack(batch['im_data'])
             batch['support_ims'] = blob_lib.s2d_pack_any(
                 batch['support_ims'])

@@ -106,6 +106,7 @@ def main(epochs=20, train_name='synth_train', test_name='synth_test',
     batches = jax.device_put(batches)
     rng = jax.random.PRNGKey(0)
     t0 = time.time()
+    from dana_tpu.utils import checkpoint as ck
     for e in range(epochs):
         if e == epochs * 3 // 4:
             state = state._replace(opt=state.opt._replace(
@@ -114,8 +115,12 @@ def main(epochs=20, train_name='synth_train', test_name='synth_test',
         if e % 2 == 0 or e == epochs - 1:
             print(f'epoch {e}: loss {float(ml):.4f} '
                   f'[{time.time() - t0:.0f}s]', flush=True)
+        if e and e % 100 == 0:
+            # periodic save: a wedged TPU tunnel must not cost the
+            # whole run (the remote link can stall for good mid-run)
+            ck.save_checkpoint('/root/repo/.scratch/synth_partial.dkpt',
+                               jax.device_get(state.params), epoch=e)
 
-    from dana_tpu.utils import checkpoint as ck
     ck.save_checkpoint('/root/repo/.scratch/synth_final.dkpt',
                        jax.device_get(state.params), epoch=epochs)
 

@@ -165,8 +165,11 @@ def main(argv=None):
     pack_s2d = bool(cfg.TPU.STEM_S2D) and args.backbone != 'vgg16'
 
     def _pack_batch_s2d(b):
+        im = np.asarray(b['im_data'])
+        if im.shape[1] % 2 or im.shape[2] % 2:
+            return b      # odd custom canvas: direct 3-channel stem
         b = dict(b)
-        b['im_data'] = blob_lib.s2d_pack(np.asarray(b['im_data']))
+        b['im_data'] = blob_lib.s2d_pack(im)
         b['support_ims'] = blob_lib.s2d_pack_any(
             np.asarray(b['support_ims']))
         return b
