@@ -31,6 +31,11 @@ except ImportError:                                    # pragma: no cover
 DEFAULT_BUCKETS = ((608, 1024), (1024, 608), (704, 704),
                    (608, 1216), (1216, 608))
 
+# Rounded BGR Caffe means: padding value for RAW-uint8 surfaces
+# (TPU.SHIP_UINT8) so pads land at ~0 after the device's mean-sub, like
+# the f32 path's zero padding in mean-subtracted space.
+U8_PAD_MEANS = np.array([103, 116, 123], np.uint8)
+
 
 def query_scale(h, w, target_size, max_size=None) -> float:
     """The reference's effective query scale: shortest side -> target,
@@ -122,7 +127,13 @@ def s2d_pack(im):
         im = im[None]
     b, h, w, c = im.shape
     assert h % 2 == 0 and w % 2 == 0, (h, w)
-    xp = np.zeros((b, h + 6, w + 6, c), im.dtype)
+    if im.dtype == np.uint8 and c == 3:
+        # raw uint8 pixels (TPU.SHIP_UINT8): the conv pad-3 border must
+        # be ~0 AFTER device mean-sub -> fill with the rounded means
+        xp = np.empty((b, h + 6, w + 6, c), im.dtype)
+        xp[:] = U8_PAD_MEANS
+    else:
+        xp = np.zeros((b, h + 6, w + 6, c), im.dtype)
     xp[:, 3:3 + h, 3:3 + w] = im
     hp, wp = h + 6, w + 6
     # four strided slice-copies instead of a 6-D transpose (the transpose
@@ -143,6 +154,36 @@ def s2d_pack_any(x):
     flat = x.reshape((-1,) + x.shape[-3:])
     out = s2d_pack(flat)
     return out.reshape(lead + out.shape[1:])
+
+
+def query_blob_u8(im, target_size=600, max_size=None, flipped=False,
+                  buckets=DEFAULT_BUCKETS):
+    """uint8 query pipeline (TPU.SHIP_UINT8): raw BGR uint8 resized and
+    padded WITHOUT mean subtraction — the device applies the means
+    (dana.forward), so the wire carries 4x fewer bytes than float32.
+
+    Deviation vs the exact f32 path: cv2 INTER_LINEAR on uint8 rounds
+    each output pixel to an integer (<=1 LSB vs resizing the float
+    image; mean subtraction itself commutes with the affine resample, so
+    the only difference is that rounding).  Keep TPU.SHIP_UINT8 off for
+    bit-exact parity runs."""
+    if flipped:
+        im = im[:, ::-1, :]
+    im = np.ascontiguousarray(im, np.uint8)
+    h, w = im.shape[:2]
+    scale = query_scale(h, w, target_size, max_size)
+    im = cv2.resize(im, None, fx=scale, fy=scale,
+                    interpolation=cv2.INTER_LINEAR)
+    h, w = im.shape[:2]
+    canvas = pick_bucket(h, w, buckets)
+    ch, cw = canvas
+    # pad with the ROUNDED means: raw-space mean maps to ~0 after the
+    # device's mean subtraction, matching the f32 path's zero padding
+    # in mean-subtracted space (within 0.5 LSB)
+    out = np.empty((ch, cw, 3), np.uint8)
+    out[:] = U8_PAD_MEANS
+    out[:h, :w] = im[:ch, :cw]
+    return out, np.array([h, w, scale], np.float32)
 
 
 def support_blob(im, box, pixel_means, out_size=320):

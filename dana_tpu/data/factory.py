@@ -186,6 +186,10 @@ def _register_all():
     # large enough that steady-state dominates compile/warmup
     _register('synth_test_400', lambda: synth_fsod('test_400',
                                                    num_images=400))
+    # support-source alias for the 400-image eval (inference.py derives
+    # the support split by test->train name substitution)
+    _register('synth_train_400', lambda: synth_fsod('train_big',
+                                                    num_images=240))
 
 
 _register_all()

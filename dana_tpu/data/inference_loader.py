@@ -106,6 +106,18 @@ class InferenceLoader:
         self.max_size = max_size
         self.pixel_means = (pixel_means if pixel_means is not None
                             else cfg.PIXEL_MEANS)
+        # ship raw uint8 queries (device-side mean-sub; 4x less wire
+        # traffic — cfg knob, see utils/config.py TPU.SHIP_UINT8)
+        self.ship_uint8 = bool(cfg.TPU.SHIP_UINT8)
+
+    def _query_blob(self, im, flipped=False):
+        if self.ship_uint8:
+            return blob.query_blob_u8(im, self.scale, self.max_size,
+                                      flipped=flipped,
+                                      buckets=self.buckets)
+        return blob.query_blob(im, self.pixel_means, self.scale,
+                               self.max_size, flipped=flipped,
+                               buckets=self.buckets)
 
     def __len__(self):
         return len(self.roidb)
@@ -123,9 +135,7 @@ class InferenceLoader:
     def __getitem__(self, index):
         entry = self.roidb[index]
         im = blob.imread_bgr(entry['image'])
-        im_data, im_info = blob.query_blob(
-            im, self.pixel_means, self.scale, self.max_size,
-            buckets=self.buckets)
+        im_data, im_info = self._query_blob(im)
         cls = self.target_class(index)
         gt = np.zeros((self.max_num_box, 5), np.float32)
         n = min(len(entry['boxes']), self.max_num_box)
@@ -149,9 +159,7 @@ class GeneralTestLoader(InferenceLoader):
     def __getitem__(self, index):
         entry = self.roidb[index]
         im = blob.imread_bgr(entry['image'])
-        im_data, im_info = blob.query_blob(
-            im, self.pixel_means, self.scale, self.max_size,
-            buckets=self.buckets)
+        im_data, im_info = self._query_blob(im)
         return {'im_data': im_data, 'im_info': im_info,
                 'num_boxes': np.int32(0), 'index': np.int32(index)}
 

@@ -66,6 +66,11 @@ class DanaConfig:
     # binds (tools/nms_cap_study.py, PERF.md r3).  TEST pre-NMS is 6000,
     # so eval never reaches the cap.
     nms_cap: int = 12000
+    # BGR Caffe pixel means (cfg.PIXEL_MEANS, config.py:258) — used only
+    # when im_data arrives as uint8 raw pixels (TPU.SHIP_UINT8: the host
+    # ships 4x less over the wire and the mean-sub runs on device, fused
+    # into the stem)
+    pixel_means: tuple = (102.9801, 115.9465, 122.7717)
     # target layers
     rpn_batchsize: int = 256
     rpn_fg_fraction: float = 0.5
@@ -368,6 +373,14 @@ def forward(params, config: DanaConfig, im_data, im_info, support_ims=None,
     rois_label (plus neg-branch scores at train for the mined loss).
     """
     cdt = config.compute_dtype
+    if im_data.dtype == jnp.uint8:
+        # raw uint8 pixels shipped host->device (TPU.SHIP_UINT8): apply
+        # the BGR mean subtraction on device, fused into the stem.  The
+        # channel dim is 3 (direct) or 12 (s2d-packed: means tile x4).
+        reps = im_data.shape[-1] // 3
+        means = jnp.tile(jnp.asarray(config.pixel_means, jnp.float32),
+                         reps)
+        im_data = im_data.astype(jnp.float32) - means
     base_feat = backbone_base(params, config, im_data.astype(cdt))
     b, fh, fw, _ = base_feat.shape
 

@@ -164,6 +164,13 @@ def _default_cfg() -> AttrDict:
     # costs ~12 ms/img of host numpy absorbed by the loader pipeline;
     # ignored for vgg16 (no 7x7/2 stem).
     c.TPU.STEM_S2D = True
+    # Ship query images to the device as RAW uint8 (mean subtraction
+    # runs on device, fused into the stem): 4x less host->device
+    # traffic — decisive on network-attached TPU (the remote tunnel
+    # here moves ~60 MB/chunk of f32 at ~1-2 s/chunk), still a real
+    # PCIe win on local hosts.  Off by default: the uint8 resize rounds
+    # each pixel (<=1 LSB deviation vs the f32 reference path).
+    c.TPU.SHIP_UINT8 = False
     # Cap on boxes entering fixed-shape NMS (memory/latency bound).
     # 12000 honors the reference's TRAIN.RPN_PRE_NMS_TOP_N in full: a
     # 6000 cap measured -0.25 proposal recall@0.5 where it binds

@@ -71,8 +71,13 @@ def main(argv=None):
         from dana_tpu.data.imdb import combined_roidb as crb
         train_name = args.imdbval_name.replace('test', 'train') \
             if 'synth' in args.imdbval_name else args.imdbval_name
-        _, support_roidb, _, _ = crb(train_name, training=False,
-                                     use_flipped=False)
+        try:
+            _, support_roidb, _, _ = crb(train_name, training=False,
+                                         use_flipped=False)
+        except KeyError:
+            # no matching train split registered: draw supports from the
+            # eval split's own annotations
+            support_roidb = roidb
         sup_dir = None
     pool = SupportPool(imdb_.classes, args.shot, support_dir=sup_dir,
                        support_roidb=support_roidb, seed=0)
@@ -186,6 +191,41 @@ def main(argv=None):
 
     t0 = time.time()
     n_done = 0
+
+    def _to_device(batch, classes):
+        if use_sup_cache:
+            support_arg = batch_support_feats(classes)
+        else:
+            support_arg = jnp.asarray(batch['support_ims'])
+        im_arg = jnp.asarray(batch['im_data'])
+        info_arg = jnp.asarray(batch['im_info'])
+        if eval_mesh is not None:
+            im_arg = jax.device_put(im_arg, _batch_sharding)
+            info_arg = jax.device_put(info_arg, _batch_sharding)
+            support_arg = jax.tree.map(
+                lambda x: jax.device_put(x, _batch_sharding),
+                support_arg)
+        return im_arg, info_arg, support_arg
+
+    def _flush(entry):
+        nonlocal n_done
+        chunk, items, dets, valid = entry
+        dets = np.asarray(dets)          # waits on THAT dispatch only
+        valid = np.asarray(valid)
+        for bi, img_idx in enumerate(chunk):
+            cls = items[bi]['target_cls']
+            all_boxes[int(cls)][img_idx] = dets[bi][valid[bi]]
+        n_done += len(chunk)
+        if n_done % (20 * eval_bs) < eval_bs:
+            dt = time.time() - t0
+            print(f'{n_done}/{num_images} imgs, '
+                  f'{n_done / dt:.2f} img/s', flush=True)
+
+    # one-deep software pipeline: dispatch chunk i's predict (async),
+    # then ship chunk i+1 host->device BEFORE blocking on i's results —
+    # overlapping H2D transfer + host assembly with device compute (the
+    # reference loop serializes all three, inference.py:88-105)
+    in_flight = None
     try:
         for ci in range(len(chunks)):
             chunk, items, batch, classes = pending[ci].result()
@@ -194,30 +234,13 @@ def main(argv=None):
                 pending.append(pool_exec.submit(assemble,
                                                 chunks[next_submit]))
                 next_submit += 1
-            if use_sup_cache:
-                support_arg = batch_support_feats(classes)
-            else:
-                support_arg = jnp.asarray(batch['support_ims'])
-            im_arg = jnp.asarray(batch['im_data'])
-            info_arg = jnp.asarray(batch['im_info'])
-            if eval_mesh is not None:
-                im_arg = jax.device_put(im_arg, _batch_sharding)
-                info_arg = jax.device_put(info_arg, _batch_sharding)
-                support_arg = jax.tree.map(
-                    lambda x: jax.device_put(x, _batch_sharding),
-                    support_arg)
-            dets, valid = predict(params, im_arg, info_arg, support_arg)
-            dets = np.asarray(dets)
-            valid = np.asarray(valid)
-            for bi, img_idx in enumerate(chunk):
-                cls = items[bi]['target_cls']
-                d = dets[bi][valid[bi]]
-                all_boxes[int(cls)][img_idx] = d
-            n_done += len(chunk)
-            if n_done % (20 * eval_bs) < eval_bs:
-                dt = time.time() - t0
-                print(f'{n_done}/{num_images} imgs, '
-                      f'{n_done / dt:.2f} img/s', flush=True)
+            dets, valid = predict(params, *_to_device(batch, classes))
+            if in_flight is not None:
+                _flush(in_flight)
+            in_flight = (chunk, items, dets, valid)
+        if in_flight is not None:
+            _flush(in_flight)
+            in_flight = None
     finally:
         # on any predict/assemble failure, cancel queued assembles so
         # decoded batches don't stay pinned in memory
