@@ -32,6 +32,12 @@ def conv2d(x, params, stride=1, padding='SAME', dilation=1):
         padding = ((padding, padding), (padding, padding))
     if isinstance(dilation, int):
         dilation = (dilation, dilation)
+    if 'w_int8' in params:
+        # int8-quantized conv (dana_tpu/quant.py): s8 x s8 -> s32 runs
+        # at up to 2x the bf16 MXU rate on v5e
+        return _dynamic_int8_conv(x, params['w_int8'], params['w_scale'],
+                                  params.get('bias'), stride, padding,
+                                  dilation)
     # mixed precision: params are f32 masters; compute in the activation
     # dtype (bf16 on the MXU when cfg.TPU.COMPUTE_DTYPE asks for it)
     w = params['weight'].astype(x.dtype)
@@ -41,6 +47,29 @@ def conv2d(x, params, stride=1, padding='SAME', dilation=1):
     if 'bias' in params:
         y = y + params['bias'].astype(y.dtype)
     return y
+
+
+def _dynamic_int8_conv(x, w_int8, w_scale, bias, stride, padding,
+                       dilation=(1, 1)):
+    """Dynamically-quantized int8 convolution (dana_tpu/quant.py).
+
+    The activation scale is a traced per-tensor max-abs (symmetric, so
+    zero padding stays exact); the weight is pre-quantized per-output-
+    channel.  Output rescales to f32 and returns in the activation
+    dtype, so the surrounding graph (residual adds, relu) is unchanged.
+    """
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf))
+    sx = jnp.maximum(amax, 1e-6) / 127.0
+    xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+    y = jax.lax.conv_general_dilated(
+        xq, w_int8, window_strides=stride, padding=padding,
+        rhs_dilation=dilation, dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+        preferred_element_type=jnp.int32)
+    y = y.astype(jnp.float32) * (sx * w_scale)
+    if bias is not None:
+        y = y + bias
+    return y.astype(x.dtype)
 
 
 def relu(x):

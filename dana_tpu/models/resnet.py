@@ -111,16 +111,27 @@ def _conv7x7s2_s2d(x, params):
     return y
 
 
+def _stem_w4(w7):
+    """Rewrite a [7,7,C,O] stem kernel as the [4,4,4C,O] s2d kernel
+    (zero-extend to 8x8, split per 2x2 phase)."""
+    c, cout = w7.shape[2], w7.shape[3]
+    w8 = jnp.pad(w7, ((0, 1), (0, 1), (0, 0), (0, 0)))      # [8,8,C,O]
+    w4 = w8.reshape(4, 2, 4, 2, c, cout)
+    return w4.transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 4 * c, cout)
+
+
 def conv1_s2d(xd, conv1):
     """conv1 on a HOST-packed space-to-depth input (blob.s2d_pack):
     dense 4x4/1 VALID conv over 12 channels.  The 7x7 kernel is
     zero-extended to 8x8 and rewritten per 2x2 phase (same transform as
     _conv7x7s2_s2d, but the reshape/transpose happened on the host)."""
-    w7 = conv1['weight']                                    # [7,7,3,64]
-    c, cout = w7.shape[2], w7.shape[3]
-    w8 = jnp.pad(w7, ((0, 1), (0, 1), (0, 0), (0, 0)))      # [8,8,3,64]
-    w4 = w8.reshape(4, 2, 4, 2, c, cout)
-    w4 = w4.transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 4 * c, cout)
+    if 'w_int8' in conv1:
+        # int8-quantized stem (dana_tpu/quant.py): the kernel rewrite is
+        # a zero-pad + reshape, which preserves the per-O quantization
+        return L._dynamic_int8_conv(xd, _stem_w4(conv1['w_int8']),
+                                    conv1['w_scale'], conv1.get('bias'),
+                                    (1, 1), 'VALID')
+    w4 = _stem_w4(conv1['weight'])
     y = jax.lax.conv_general_dilated(
         xd, w4.astype(xd.dtype), window_strides=(1, 1), padding='VALID',
         dimension_numbers=('NHWC', 'HWIO', 'NHWC'))

@@ -164,6 +164,16 @@ def _default_cfg() -> AttrDict:
     # costs ~12 ms/img of host numpy absorbed by the loader pipeline;
     # ignored for vgg16 (no 7x7/2 stem).
     c.TPU.STEM_S2D = True
+    # Serve conv weights in int8 (post-training quantization,
+    # dana_tpu/quant.py): BN folded into per-output-channel int8 conv
+    # weights, dynamic per-tensor activation scales.  Inference-only;
+    # off by default (bit-exact parity with the f32 reference path
+    # wins).  QUANT_SCOPE 'tail' (default) quantizes only the MXU-bound
+    # RoI tail (+4% e2e measured on v5e); 'all' also quantizes the
+    # HBM-bound early backbone, which measured a net LOSS — kept as an
+    # experiment knob.
+    c.TPU.QUANT_INT8 = False
+    c.TPU.QUANT_SCOPE = 'tail'
     # Ship query images to the device as RAW uint8 (mean subtraction
     # runs on device, fused into the stem): 4x less host->device
     # traffic — decisive on network-attached TPU (the remote tunnel

@@ -61,6 +61,12 @@ def main(argv=None):
         params = payload['model']
         cfg.POOLING_MODE = payload.get('pooling_mode', cfg.POOLING_MODE)
         print(f'loaded checkpoint {path}')
+    if cfg.TPU.QUANT_INT8:
+        # int8 PTQ serving path (dana_tpu/quant.py): BN-folded
+        # per-channel int8 conv weights, dynamic activation scales
+        from dana_tpu import quant
+        params = quant.quantize_params(params, scope=cfg.TPU.QUANT_SCOPE)
+        print(f'int8-quantized backbone (scope={cfg.TPU.QUANT_SCOPE})')
     params = to_jnp(params)
 
     sup_dir = os.path.join(cfg.DATA_DIR, 'supports') \

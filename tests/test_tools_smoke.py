@@ -80,3 +80,23 @@ def test_profile_train_dry_runs():
         env=env, capture_output=True, text=True, timeout=3000)
     assert out.returncode == 0, out.stderr[-2000:]
     assert 'frozen-grad saving' in out.stdout
+
+
+def test_export_serving_cli(tmp_path):
+    """tools/export_serving.py: tiny single-bucket export round-trips
+    through the CLI path (trace + lower only — no backend compile)."""
+    from dana_tpu.models import dana
+    from dana_tpu.utils import checkpoint as ckpt_lib
+    from tools import export_serving
+
+    cfgm = dana.DanaConfig(n_way=2, n_shot=1)
+    params = dana.init_params(cfgm, seed=0)
+    ck = str(tmp_path / 'tiny.dkpt')
+    ckpt_lib.save_checkpoint(ck, params)
+    out = str(tmp_path / 'art')
+    export_serving.main(['--checkpath', ck, '--out', out, '--bs', '1',
+                         '--way', '2', '--shot', '1',
+                         '--buckets', '64x96', '--quant', 'tail'])
+    assert os.path.exists(os.path.join(out, 'meta.json'))
+    assert os.path.exists(os.path.join(out, 'predict_64x96.shlo'))
+    assert os.path.exists(os.path.join(out, 'encode_supports.shlo'))

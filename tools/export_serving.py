@@ -1,0 +1,75 @@
+"""Export a checkpoint as a serving artifact (dana_tpu/serve.py).
+
+Serializes the AOT predict step per query bucket + the support encoder
+to StableHLO, optionally int8-quantizing the backbone first
+(dana_tpu/quant.py).  The artifact serves without the model code.
+
+    python tools/export_serving.py --checkpath ckpt.dkpt \
+        --out artifacts/dana_r50 [--bs 8] [--way 2] [--shot 3] \
+        [--arch resnet50] [--quant tail|all] [--platforms tpu]
+
+Smoke-tested by tests/test_tools_smoke.py (CPU, tiny shapes).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--checkpath', required=True)
+    ap.add_argument('--out', required=True)
+    ap.add_argument('--bs', type=int, default=8)
+    ap.add_argument('--way', type=int, default=2)
+    ap.add_argument('--shot', type=int, default=3)
+    ap.add_argument('--arch', default='resnet50')
+    ap.add_argument('--quant', default=None, choices=('tail', 'all'))
+    ap.add_argument('--s2d', action='store_true',
+                    help='export for host-packed space-to-depth inputs')
+    ap.add_argument('--platforms', nargs='*', default=None,
+                    help="cross-export targets, e.g. --platforms tpu")
+    ap.add_argument('--buckets', default=None,
+                    help='comma list like 608x1024,704x704 '
+                         '(default: cfg.TPU.SIZE_BUCKETS)')
+    args = ap.parse_args(argv)
+
+    from dana_tpu import serve
+    from dana_tpu.models import dana
+    from dana_tpu.models.layers import to_jnp
+    from dana_tpu.utils import checkpoint as ckpt_lib
+    from dana_tpu.utils.config import cfg
+
+    payload = ckpt_lib.load_checkpoint(args.checkpath)
+    params = payload['model']
+    if args.quant:
+        from dana_tpu import quant
+        params = quant.quantize_params(params, scope=args.quant)
+    params = to_jnp(params)
+
+    config = dana.DanaConfig(n_way=args.way, n_shot=args.shot,
+                             arch=args.arch)
+    if args.buckets:
+        buckets = tuple(tuple(int(v) for v in b.split('x'))
+                        for b in args.buckets.split(','))
+    else:
+        buckets = tuple(tuple(b) for b in cfg.TPU.SIZE_BUCKETS)
+
+    meta = serve.export_predictor(
+        params, config, args.out, buckets=buckets, batch_size=args.bs,
+        s2d=args.s2d, platforms=args.platforms,
+        pp_kwargs={'nms_thresh': cfg.TEST.NMS})
+    total = sum(os.path.getsize(os.path.join(args.out, f))
+                for f in os.listdir(args.out))
+    print(f"exported {len(meta['buckets'])} bucket artifacts + encoder "
+          f"to {args.out} ({total / 1e6:.1f} MB)"
+          f"{' [int8 ' + args.quant + ']' if args.quant else ''}")
+
+
+if __name__ == '__main__':
+    main()
