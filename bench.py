@@ -133,6 +133,26 @@ def main():
     dtc = max((tcm - tc1) / 8.0, 1e-6)
     imgs_per_sec_cached = batch * iters / dtc
 
+    # int8-quantized serving variant (dana_tpu/quant.py, scope='tail'):
+    # AP-parity PTQ of the MXU-bound RoI tail — the production
+    # TPU.QUANT_INT8 path.  Extra metric only; the headline stays the
+    # bit-exact bf16 parity path.
+    from dana_tpu import quant
+    qparams = to_jnp(quant.quantize_params(params, scope='tail'))
+    qsup_feats = dana.extract_support_feats(qparams, config, sup)
+    np.asarray(jax.device_get(
+        predict_many_cached(qparams, ims, info, qsup_feats)))
+
+    def timed_q(n_calls):
+        t0 = time.perf_counter()
+        outs = [predict_many_cached(qparams, ims, info, qsup_feats)
+                for _ in range(n_calls)]
+        np.asarray(jax.device_get(outs[-1]))
+        return time.perf_counter() - t0
+
+    dtq = max((timed_q(9) - timed_q(1)) / 8.0, 1e-6)
+    imgs_per_sec_int8 = batch * iters / dtq
+
     # FLOP-based MFU from XLA's own cost analysis of the compiled step
     # (VERDICT r1 item 3: report MFU next to imgs/s), against the v5e
     # bf16 peak.  cost_analysis counts the whole scan: divide by iters.
@@ -166,6 +186,7 @@ def main():
         'inference_gflop_per_img': round(
             flops_per_batch / batch / 1e9, 1),
         'imgs_per_sec_cached_supports': round(imgs_per_sec_cached, 3),
+        'imgs_per_sec_int8_tail': round(imgs_per_sec_int8, 3),
     }
     out.update(train_metrics)
     print(json.dumps(out))
