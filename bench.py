@@ -133,19 +133,31 @@ def main():
     dtc = max((tcm - tc1) / 8.0, 1e-6)
     imgs_per_sec_cached = batch * iters / dtc
 
-    # int8-quantized serving variant (dana_tpu/quant.py, scope='tail'):
-    # AP-parity PTQ of the MXU-bound RoI tail — the production
-    # TPU.QUANT_INT8 path.  Extra metric only; the headline stays the
-    # bit-exact bf16 parity path.
+    # int8-quantized serving variant (dana_tpu/quant.py): PTQ of the
+    # MXU-bound RoI tail + int8 RoIAlign matmul — the production
+    # TPU.QUANT_INT8 path (AP parity: PERF.md r3).  Extra metric only;
+    # the headline stays the bit-exact bf16 parity path.
+    import dataclasses
     from dana_tpu import quant
+    qconfig = dataclasses.replace(config, roi_align_int8=True)
     qparams = to_jnp(quant.quantize_params(params, scope='tail'))
-    qsup_feats = dana.extract_support_feats(qparams, config, sup)
+    qsup_feats = dana.extract_support_feats(qparams, qconfig, sup)
+
+    @jax.jit
+    def predict_many_q(params, ims, info, sup_feats):
+        def body(acc, one_im):
+            out = dana.forward(params, qconfig, one_im, info,
+                               training=False, support_feats=sup_feats)
+            return acc + out['rois'].sum() + out['cls_prob'].sum(), None
+        acc, _ = jax.lax.scan(body, jnp.float32(0), ims)
+        return acc
+
     np.asarray(jax.device_get(
-        predict_many_cached(qparams, ims, info, qsup_feats)))
+        predict_many_q(qparams, ims, info, qsup_feats)))
 
     def timed_q(n_calls):
         t0 = time.perf_counter()
-        outs = [predict_many_cached(qparams, ims, info, qsup_feats)
+        outs = [predict_many_q(qparams, ims, info, qsup_feats)
                 for _ in range(n_calls)]
         np.asarray(jax.device_get(outs[-1]))
         return time.perf_counter() - t0
@@ -186,7 +198,7 @@ def main():
         'inference_gflop_per_img': round(
             flops_per_batch / batch / 1e9, 1),
         'imgs_per_sec_cached_supports': round(imgs_per_sec_cached, 3),
-        'imgs_per_sec_int8_tail': round(imgs_per_sec_int8, 3),
+        'imgs_per_sec_int8_serve': round(imgs_per_sec_int8, 3),
     }
     out.update(train_metrics)
     print(json.dumps(out))

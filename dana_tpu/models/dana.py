@@ -66,6 +66,9 @@ class DanaConfig:
     # binds (tools/nms_cap_study.py, PERF.md r3).  TEST pre-NMS is 6000,
     # so eval never reaches the cap.
     nms_cap: int = 12000
+    # int8 MXU path for the RoIAlign combined matmul at inference
+    # (cfg.TPU.QUANT_INT8 serving mode; ops/roi_align.py int8=)
+    roi_align_int8: bool = False
     # BGR Caffe pixel means (cfg.PIXEL_MEANS, config.py:258) — used only
     # when im_data arrives as uint8 raw pixels (TPU.SHIP_UINT8: the host
     # ships 4x less over the wire and the mean-sub runs on device, fused
@@ -341,9 +344,11 @@ def rpn_attention(params, config: DanaConfig, base_feat, support_feat,
     return base_feat * dense
 
 
-def _pool_rois(config: DanaConfig, base_feat, rois):
+def _pool_rois(config: DanaConfig, base_feat, rois, training=True):
     if config.pooling_mode == 'align':
-        return roi_align(base_feat, rois, config.pooling_size, 1.0 / 16.0, 0)
+        # int8 serving path only at inference (round() kills gradients)
+        return roi_align(base_feat, rois, config.pooling_size, 1.0 / 16.0,
+                         0, int8=config.roi_align_int8 and not training)
     if config.pooling_mode == 'crop':
         from dana_tpu.ops.grid_sample import roi_crop_pool
         return roi_crop_pool(base_feat, rois, config.pooling_size,
@@ -451,7 +456,8 @@ def forward(params, config: DanaConfig, im_data, im_info, support_ims=None,
                 bbox_normalize_stds=config.bbox_normalize_stds))
         out.update(rpn_loss_cls=rpn_loss_cls, rpn_loss_box=rpn_loss_box)
 
-    pooled = _pool_rois(config, base_feat, rois.astype(cdt))   # [B,R,7,7,C]
+    pooled = _pool_rois(config, base_feat, rois.astype(cdt),
+                        training=training)                     # [B,R,7,7,C]
 
     bbox_pred, cls_prob, cls_score = rcnn_head(
         params, config, pooled, pos_pooled, roi_pe)

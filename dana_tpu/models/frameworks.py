@@ -88,7 +88,8 @@ def trunk(params, config: DanaConfig, base_feat, corr_feat, im_info,
                    rois_in_w=rois_in_w, rois_out_w=rois_out_w)
     out['rois'] = rois
     out['pooled'] = _pool_rois(config, base_feat,
-                               rois.astype(base_feat.dtype))
+                               rois.astype(base_feat.dtype),
+                               training=training)
     return out
 
 

@@ -144,3 +144,22 @@ def test_quantize_params_full_forward():
     r = np.asarray(ref['cls_prob']).ravel()
     g = np.asarray(got['cls_prob']).ravel()
     assert np.corrcoef(r, g)[0, 1] > 0.95
+
+
+def test_roi_align_int8_close_to_float():
+    """ops/roi_align.py int8=True: the int8 MXU serving path stays close
+    to the f32 separable path (per-row weight scales keep the hat
+    functions exact to 1/127)."""
+    from dana_tpu.ops.roi_align import roi_align
+    rng = np.random.default_rng(7)
+    feat = rng.normal(size=(2, 19, 25, 64)).astype(np.float32)
+    rois = np.stack([
+        np.array([[16, 16, 160, 120], [0, 0, 380, 290],
+                  [40, 8, 90, 200]], np.float32)] * 2)
+    ref = np.asarray(roi_align(jnp.asarray(feat), jnp.asarray(rois)))
+    got = np.asarray(roi_align(jnp.asarray(feat, jnp.bfloat16),
+                               jnp.asarray(rois), int8=True))
+    denom = np.abs(ref).mean() + 1e-9
+    assert np.abs(got.astype(np.float32) - ref).mean() / denom < 0.02
+    assert np.corrcoef(got.astype(np.float32).ravel(),
+                       ref.ravel())[0, 1] > 0.999

@@ -53,7 +53,10 @@ def main(argv=None):
     params = to_jnp(params)
 
     config = dana.DanaConfig(n_way=args.way, n_shot=args.shot,
-                             arch=args.arch)
+                             arch=args.arch,
+                             # int8 serving also routes RoIAlign through
+                             # the int8 MXU path (ops/roi_align.py)
+                             roi_align_int8=bool(args.quant))
     if args.buckets:
         buckets = tuple(tuple(int(v) for v in b.split('x'))
                         for b in args.buckets.split(','))

@@ -178,6 +178,9 @@ def get_model(name, pretrained=True, use_BA_block=True, way=2, shot=3,
         bbox_normalize_means=tuple(cfg.TRAIN.BBOX_NORMALIZE_MEANS),
         bbox_normalize_stds=tuple(cfg.TRAIN.BBOX_NORMALIZE_STDS),
         bn_train=cfg.TRAIN.BN_TRAIN,
+        # int8 serving mode also routes the RoIAlign matmul onto the
+        # int8 MXU (inference only; ops/roi_align.py)
+        roi_align_int8=bool(cfg.TPU.QUANT_INT8),
     )
     if name == 'DAnA':
         config = dana.DanaConfig(attention_type='concat',
