@@ -191,3 +191,43 @@ def test_sharded_inference_matches_single_device():
     np.testing.assert_allclose(np.asarray(out1['cls_prob']),
                                np.asarray(out2['cls_prob']), rtol=1e-4,
                                atol=1e-5)
+
+
+def test_quantized_params_replicate_and_forward():
+    """int8 serving trees ride the data-parallel eval mesh: int8 leaves
+    replicate, and the sharded forward runs (inference.py --mGPUs with
+    TPU.QUANT_INT8)."""
+    import dataclasses
+    import numpy as np
+    from dana_tpu import parallel as par, quant
+    from dana_tpu.models import dana
+    from dana_tpu.models.layers import to_jnp
+
+    cfg = dana.DanaConfig(n_way=2, n_shot=1, train_pre_nms=64,
+                          train_post_nms=16, test_pre_nms=64,
+                          test_post_nms=8, nms_cap=64,
+                          use_pallas_attention=False,
+                          roi_align_int8=True)
+    qp = to_jnp(quant.quantize_params(dana.init_params(cfg, seed=0),
+                                      scope='tail'))
+    mesh = par.make_mesh()
+    qp = par.replicate(qp, mesh)
+    assert qp['backbone']['layer4']['0']['conv1']['w_int8'].dtype == \
+        jnp.int8
+    n = len(jax.devices())
+    rng = np.random.default_rng(0)
+    im = jnp.asarray(rng.normal(size=(n, 64, 96, 3)) * 40, jnp.float32)
+    info = jnp.tile(jnp.array([[64.0, 96.0, 1.0]]), (n, 1))
+    sup = jnp.asarray(rng.normal(size=(n, 2, 224, 224, 3)), jnp.float32)
+    sh = jax.sharding.NamedSharding(mesh,
+                                    jax.sharding.PartitionSpec('data'))
+    im = jax.device_put(im, sh)
+    info = jax.device_put(info, sh)
+    sup = jax.device_put(sup, sh)
+
+    @jax.jit
+    def fwd(p, x, ii, s):
+        o = dana.forward(p, cfg, x, ii, s, training=False)
+        return o['cls_prob']
+    out = np.asarray(fwd(qp, im, info, sup))
+    assert np.isfinite(out).all()

@@ -79,3 +79,36 @@ def test_export_quantized_marker(tmp_path, small):
     info = jnp.array([[64.0, 96.0, 1.0]])
     dets, valid = pred(qp, im, info, feats[0], feats[1])
     assert np.isfinite(np.asarray(dets)).all()
+
+
+def test_export_s2d_variant(tmp_path, small):
+    """s2d export: artifact signature takes host-packed 12-channel
+    surfaces (blob.s2d_pack) and matches the direct path's outputs."""
+    from dana_tpu.data import blob
+    cfg, params = small
+    out = str(tmp_path / 'artifact_s2d')
+    meta = serve.export_predictor(params, cfg, out, buckets=((64, 96),),
+                                  batch_size=1, sup_size=224, s2d=True)
+    assert meta['s2d']
+    pred = serve.load(out)
+    rng = np.random.default_rng(2)
+    sup = rng.normal(size=(1, 2, 224, 224, 3)).astype(np.float32)
+    feats = pred.encode(params, jnp.asarray(blob.s2d_pack_any(sup)))
+    ref_feats = dana.extract_support_feats(params, cfg,
+                                           jnp.asarray(sup))
+    for a, b in zip(feats, ref_feats):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=2e-2, atol=2e-2)
+    im = rng.normal(size=(1, 64, 96, 3)).astype(np.float32) * 40
+    info = jnp.array([[64.0, 96.0, 1.0]])
+    dets, valid = pred(params, jnp.asarray(blob.s2d_pack(im)), info,
+                       feats[0], feats[1])
+    ref = dana.forward(params, cfg, jnp.asarray(im), info,
+                       training=False, support_feats=ref_feats)
+    from dana_tpu.engine.postprocess import postprocess_batch
+    rd, rv = postprocess_batch(ref['rois'], ref['cls_prob'],
+                               ref['bbox_pred'], info)
+    # s2d stem is mathematically identical; tolerance for bf16 churn
+    np.testing.assert_allclose(np.asarray(dets), np.asarray(rd),
+                               rtol=1e-3, atol=1e-3)
