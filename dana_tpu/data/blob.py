@@ -37,6 +37,14 @@ DEFAULT_BUCKETS = ((608, 1024), (1024, 608), (704, 704),
 U8_PAD_MEANS = np.array([103, 116, 123], np.uint8)
 
 
+def u8_pad_of(pixel_means):
+    """Rounded per-channel means as the raw-uint8 pad value (maps to ~0
+    after the device's mean subtraction).  Tracks cfg.PIXEL_MEANS
+    overrides instead of assuming the Caffe defaults."""
+    return np.clip(np.round(np.asarray(pixel_means, np.float64).ravel()),
+                   0, 255).astype(np.uint8)
+
+
 def query_scale(h, w, target_size, max_size=None) -> float:
     """The reference's effective query scale: shortest side -> target,
     long-side cap only if max_size is given (blob.py:40-46: the cap is
@@ -111,7 +119,7 @@ def query_blob(im, pixel_means, target_size=600, max_size=None,
     return pad_to_canvas(im, canvas), np.array([h, w, scale], np.float32)
 
 
-def s2d_pack(im):
+def s2d_pack(im, u8_pad=None):
     """HOST-side 2x2 space-to-depth packing for the ResNet stem.
 
     [(B,) H, W, 3] -> [(B,) H/2+3, W/2+3, 12] with the conv1 pad-3
@@ -131,7 +139,7 @@ def s2d_pack(im):
         # raw uint8 pixels (TPU.SHIP_UINT8): the conv pad-3 border must
         # be ~0 AFTER device mean-sub -> fill with the rounded means
         xp = np.empty((b, h + 6, w + 6, c), im.dtype)
-        xp[:] = U8_PAD_MEANS
+        xp[:] = U8_PAD_MEANS if u8_pad is None else u8_pad
     else:
         xp = np.zeros((b, h + 6, w + 6, c), im.dtype)
     xp[:, 3:3 + h, 3:3 + w] = im
@@ -148,16 +156,16 @@ def s2d_pack(im):
     return xd[0] if single else xd
 
 
-def s2d_pack_any(x):
+def s2d_pack_any(x, u8_pad=None):
     """s2d_pack over arbitrary leading dims ([..., H, W, 3])."""
     lead = x.shape[:-3]
     flat = x.reshape((-1,) + x.shape[-3:])
-    out = s2d_pack(flat)
+    out = s2d_pack(flat, u8_pad=u8_pad)
     return out.reshape(lead + out.shape[1:])
 
 
 def query_blob_u8(im, target_size=600, max_size=None, flipped=False,
-                  buckets=DEFAULT_BUCKETS):
+                  buckets=DEFAULT_BUCKETS, pixel_means=None):
     """uint8 query pipeline (TPU.SHIP_UINT8): raw BGR uint8 resized and
     padded WITHOUT mean subtraction — the device applies the means
     (dana.forward), so the wire carries 4x fewer bytes than float32.
@@ -181,7 +189,8 @@ def query_blob_u8(im, target_size=600, max_size=None, flipped=False,
     # device's mean subtraction, matching the f32 path's zero padding
     # in mean-subtracted space (within 0.5 LSB)
     out = np.empty((ch, cw, 3), np.uint8)
-    out[:] = U8_PAD_MEANS
+    out[:] = (U8_PAD_MEANS if pixel_means is None
+              else u8_pad_of(pixel_means))
     out[:h, :w] = im[:ch, :cw]
     return out, np.array([h, w, scale], np.float32)
 

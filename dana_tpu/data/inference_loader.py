@@ -114,7 +114,8 @@ class InferenceLoader:
         if self.ship_uint8:
             return blob.query_blob_u8(im, self.scale, self.max_size,
                                       flipped=flipped,
-                                      buckets=self.buckets)
+                                      buckets=self.buckets,
+                                      pixel_means=self.pixel_means)
         return blob.query_blob(im, self.pixel_means, self.scale,
                                self.max_size, flipped=flipped,
                                buckets=self.buckets)

@@ -344,6 +344,20 @@ def rpn_attention(params, config: DanaConfig, base_feat, support_feat,
     return base_feat * dense
 
 
+def prep_query_images(config: DanaConfig, im_data):
+    """Device-side input prep shared by EVERY framework forward (DAnA,
+    fsod, meta, fgn, frcnn): raw uint8 pixels shipped host->device
+    (TPU.SHIP_UINT8) get the BGR mean subtraction here, fused into the
+    stem.  The channel dim is 3 (direct) or 12 (s2d-packed: means tile
+    x4).  Float inputs pass through untouched."""
+    if im_data.dtype == jnp.uint8:
+        reps = im_data.shape[-1] // 3
+        means = jnp.tile(jnp.asarray(config.pixel_means, jnp.float32),
+                         reps)
+        im_data = im_data.astype(jnp.float32) - means
+    return im_data
+
+
 def _pool_rois(config: DanaConfig, base_feat, rois, training=True):
     if config.pooling_mode == 'align':
         # int8 serving path only at inference (round() kills gradients)
@@ -378,14 +392,7 @@ def forward(params, config: DanaConfig, im_data, im_info, support_ims=None,
     rois_label (plus neg-branch scores at train for the mined loss).
     """
     cdt = config.compute_dtype
-    if im_data.dtype == jnp.uint8:
-        # raw uint8 pixels shipped host->device (TPU.SHIP_UINT8): apply
-        # the BGR mean subtraction on device, fused into the stem.  The
-        # channel dim is 3 (direct) or 12 (s2d-packed: means tile x4).
-        reps = im_data.shape[-1] // 3
-        means = jnp.tile(jnp.asarray(config.pixel_means, jnp.float32),
-                         reps)
-        im_data = im_data.astype(jnp.float32) - means
+    im_data = prep_query_images(config, im_data)
     base_feat = backbone_base(params, config, im_data.astype(cdt))
     b, fh, fw, _ = base_feat.shape
 

@@ -25,7 +25,8 @@ from dana_tpu.core.anchors import generate_anchors, shifted_anchors
 from dana_tpu.models import layers as L
 from dana_tpu.models import resnet
 from dana_tpu.models import rpn as rpn_lib
-from dana_tpu.models.dana import DanaConfig, _pool_rois
+from dana_tpu.models.dana import (DanaConfig, _pool_rois,
+                                  prep_query_images)
 from dana_tpu.models.losses import (hard_mined_pair_ce, masked_cross_entropy,
                                     smooth_l1_loss)
 
@@ -170,7 +171,8 @@ def fsod_forward(params, config: DanaConfig, im_data, im_info, support_ims,
     conv shrinks the RPN grid by 6, as in F.conv2d groups=1024), and the
     three-relation head summed / soft_gamma=10."""
     cdt = config.compute_dtype
-    base_feat = resnet.base_forward(im_data.astype(cdt), params['backbone'],
+    base_feat = resnet.base_forward(
+        prep_query_images(config, im_data).astype(cdt), params['backbone'],
                                     config.arch)
     sup = _backbone_supports(params, config, support_ims, training)
     pos = sup[:, :config.n_shot].mean(axis=1)          # [B, 20, 20, 1024]
@@ -250,7 +252,8 @@ def meta_forward(params, config: DanaConfig, im_data, im_info, support_ims,
     supports, plain RPN on base features using the *all-class* gt
     (meta.py:65), channel-reweighted 2048-d RoI features."""
     cdt = config.compute_dtype
-    base_feat = resnet.base_forward(im_data.astype(cdt), params['backbone'],
+    base_feat = resnet.base_forward(
+        prep_query_images(config, im_data).astype(cdt), params['backbone'],
                                     config.arch)
 
     def prn(sup_flat):
@@ -313,7 +316,8 @@ def fgn_forward(params, config: DanaConfig, im_data, im_info, support_ims,
     reference's bn1/bn2 are ordinary train-mode nn.BatchNorm2d,
     fgn.py:145-165); otherwise stored-stats inference mode."""
     cdt = config.compute_dtype
-    base_feat = resnet.base_forward(im_data.astype(cdt), params['backbone'],
+    base_feat = resnet.base_forward(
+        prep_query_images(config, im_data).astype(cdt), params['backbone'],
                                     config.arch)
     sup = _backbone_supports(params, config, support_ims, training)
     pos = sup[:, :config.n_shot].mean(axis=1)              # [B, 20, 20, c]
@@ -387,7 +391,8 @@ def frcnn_forward(params, config: DanaConfig, im_data, im_info,
     """Vanilla Faster R-CNN (faster_rcnn.py:35-102): no supports;
     multi-class CE + class-selected bbox deltas at train."""
     cdt = config.compute_dtype
-    base_feat = resnet.base_forward(im_data.astype(cdt), params['backbone'],
+    base_feat = resnet.base_forward(
+        prep_query_images(config, im_data).astype(cdt), params['backbone'],
                                     config.arch)
     out = trunk(params, config, base_feat, base_feat, im_info, gt_boxes,
                 training, rng)

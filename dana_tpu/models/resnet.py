@@ -98,11 +98,7 @@ def _conv7x7s2_s2d(x, params):
     xd = xp.reshape(b, hp // 2, 2, wp // 2, 2, c)
     xd = xd.transpose(0, 1, 3, 2, 4, 5).reshape(b, hp // 2, wp // 2,
                                                 4 * c)
-    w7 = params['weight']                                   # [7,7,3,64]
-    w8 = jnp.pad(w7, ((0, 1), (0, 1), (0, 0), (0, 0)))      # [8,8,3,64]
-    w4 = w8.reshape(4, 2, 4, 2, c, w7.shape[-1])
-    w4 = w4.transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 4 * c,
-                                                w7.shape[-1])
+    w4 = _stem_w4(params['weight'])
     y = jax.lax.conv_general_dilated(
         xd, w4.astype(x.dtype), window_strides=(1, 1), padding='VALID',
         dimension_numbers=('NHWC', 'HWIO', 'NHWC'))

@@ -131,6 +131,21 @@ def quantize_backbone(bb, scope='all'):
     return out
 
 
+def count_int8(tree):
+    """Number of int8-quantized convs in a param tree (0 = the transform
+    was a no-op, e.g. vgg16 with scope='tail')."""
+    n = [0]
+
+    def look(t):
+        if isinstance(t, dict):
+            if 'w_int8' in t:
+                n[0] += 1
+            for v in t.values():
+                look(v)
+    look(tree)
+    return n[0]
+
+
 def quantize_params(params, scope='tail'):
     """Quantize the 'backbone' subtree of a full model param tree (host
     numpy transform; call before layers.to_jnp / before sharding)."""

@@ -141,7 +141,12 @@ def _default_cfg() -> AttrDict:
 
     # ---------------- TPU-native additions ----------------
     c.TPU = AttrDict()
-    c.TPU.COMPUTE_DTYPE = 'bfloat16'   # matmul/conv compute dtype
+    # matmul/conv compute dtype for the CLIs.  'float32' by default:
+    # measured on the synth e2e eval, running an f32-trained checkpoint
+    # with bf16 compute costs real AP (0.175->0.119; PERF.md "bf16
+    # compute and AP").  Set 'bfloat16' for throughput once the
+    # checkpoint/eval pair is validated at that precision.
+    c.TPU.COMPUTE_DTYPE = 'float32'
     c.TPU.PARAM_DTYPE = 'float32'
     # Query images are padded onto static (H, W) bucket canvases so each
     # bucket compiles exactly once (replaces per-batch dynamic padding).

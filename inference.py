@@ -59,14 +59,28 @@ def main(argv=None):
                     break
         payload = ckpt_lib.load_checkpoint(path)
         params = payload['model']
+        # the checkpoint carries POOLING_MODE (reference train.py:100):
+        # propagate it into BOTH the global cfg and the already-built
+        # model config, which froze the pre-checkpoint value
         cfg.POOLING_MODE = payload.get('pooling_mode', cfg.POOLING_MODE)
+        if config.pooling_mode != cfg.POOLING_MODE:
+            import dataclasses
+            config = dataclasses.replace(config,
+                                         pooling_mode=cfg.POOLING_MODE)
         print(f'loaded checkpoint {path}')
     if cfg.TPU.QUANT_INT8:
         # int8 PTQ serving path (dana_tpu/quant.py): BN-folded
         # per-channel int8 conv weights, dynamic activation scales
         from dana_tpu import quant
         params = quant.quantize_params(params, scope=cfg.TPU.QUANT_SCOPE)
-        print(f'int8-quantized backbone (scope={cfg.TPU.QUANT_SCOPE})')
+        n_q = quant.count_int8(params)
+        if n_q:
+            print(f'int8-quantized {n_q} convs '
+                  f'(scope={cfg.TPU.QUANT_SCOPE}) + int8 roi_align')
+        else:
+            print(f'WARNING: TPU.QUANT_INT8 quantized 0 convs for this '
+                  f'backbone/scope ({cfg.TPU.QUANT_SCOPE}) — only the '
+                  f'int8 roi_align path is active')
     params = to_jnp(params)
 
     sup_dir = os.path.join(cfg.DATA_DIR, 'supports') \
@@ -82,7 +96,14 @@ def main(argv=None):
                                          use_flipped=False)
         except KeyError:
             # no matching train split registered: draw supports from the
-            # eval split's own annotations
+            # eval split's own annotations — a query image's own gt crop
+            # can then serve as its support, which INFLATES AP vs the
+            # reference protocol.  Loud so nobody mistakes such a run
+            # for a protocol-faithful number.
+            print(f'WARNING: no support split for {args.imdbval_name} '
+                  f'(tried {train_name}); falling back to the EVAL '
+                  f'split\'s own annotations — AP is not '
+                  f'protocol-comparable', flush=True)
             support_roidb = roidb
         sup_dir = None
     pool = SupportPool(imdb_.classes, args.shot, support_dir=sup_dir,
@@ -179,7 +200,9 @@ def main(argv=None):
         if pack_s2d and batch['im_data'].shape[1] % 2 == 0 \
                 and batch['im_data'].shape[2] % 2 == 0:
             # odd custom canvases fall back to the direct 3-channel stem
-            batch['im_data'] = blob_lib.s2d_pack(batch['im_data'])
+            batch['im_data'] = blob_lib.s2d_pack(
+                batch['im_data'],
+                u8_pad=blob_lib.u8_pad_of(loader.pixel_means))
             batch['support_ims'] = blob_lib.s2d_pack_any(
                 batch['support_ims'])
         classes = [it['target_cls'] for it in items] \

@@ -37,26 +37,60 @@ def main(argv=None):
     ap.add_argument('--buckets', default=None,
                     help='comma list like 608x1024,704x704 '
                          '(default: cfg.TPU.SIZE_BUCKETS)')
+    ap.add_argument('--cfg', dest='cfg_file', default=None,
+                    help='experiment YAML (same as the CLIs)')
+    ap.add_argument('--set', dest='set_cfgs', nargs='*', default=None,
+                    help='cfg key-value override pairs')
+    ap.add_argument('--ascale', type=int, default=4, choices=(3, 4),
+                    help='anchor-scale preset, same as the CLIs '
+                         '(reference utils.py:68-73); must match the '
+                         'checkpoint (validated against the RPN head)')
     args = ap.parse_args(argv)
 
+    import utils as cli_utils
     from dana_tpu import serve
     from dana_tpu.models import dana
     from dana_tpu.models.layers import to_jnp
     from dana_tpu.utils import checkpoint as ckpt_lib
-    from dana_tpu.utils.config import cfg
+    from dana_tpu.utils.config import cfg, cfg_from_file, cfg_from_list
+
+    if args.cfg_file:
+        cfg_from_file(args.cfg_file)
+    cfg_from_list(['ANCHOR_SCALES',
+                   '[8, 16, 32]' if args.ascale == 3 else '[4, 8, 16, 32]',
+                   'ANCHOR_RATIOS', '[0.5,1,2]'])
+    if args.set_cfgs:          # explicit --set pairs win over the preset
+        cfg_from_list(args.set_cfgs)
 
     payload = ckpt_lib.load_checkpoint(args.checkpath)
     params = payload['model']
+    # the checkpoint carries POOLING_MODE (reference train.py:100)
+    cfg.POOLING_MODE = payload.get('pooling_mode', cfg.POOLING_MODE)
     if args.quant:
         from dana_tpu import quant
         params = quant.quantize_params(params, scope=args.quant)
     params = to_jnp(params)
 
-    config = dana.DanaConfig(n_way=args.way, n_shot=args.shot,
-                             arch=args.arch,
-                             # int8 serving also routes RoIAlign through
-                             # the int8 MXU path (ops/roi_align.py)
-                             roi_align_int8=bool(args.quant))
+    # full cfg->config mapping shared with utils.get_model so the
+    # artifact is traced with the SAME anchors/NMS tops/pooling the
+    # training run and the eval CLI use — not dataclass defaults
+    kw = cli_utils.model_config_kwargs(args.way, args.shot, args.arch)
+    # int8 serving also routes RoIAlign through the int8 MXU path
+    # (ops/roi_align.py); --quant overrides whatever cfg said
+    kw['roi_align_int8'] = bool(args.quant)
+    config = dana.DanaConfig(**kw)
+
+    # fail loudly if the anchor config disagrees with the checkpoint:
+    # the RPN cls head has 2A output channels, so a mismatched --ascale
+    # would otherwise export an artifact that decodes garbage proposals
+    head_ch = payload['model']['RCNN_rpn']['RPN_cls_score']['weight']
+    head_ch = head_ch.shape[-1]
+    if head_ch != 2 * config.num_anchors:
+        raise SystemExit(
+            f'anchor mismatch: checkpoint RPN head has {head_ch // 2} '
+            f'anchors/position but ANCHOR_SCALES x ANCHOR_RATIOS gives '
+            f'{config.num_anchors} — pass the --ascale/--set the '
+            f'checkpoint was trained with')
     if args.buckets:
         buckets = tuple(tuple(int(v) for v in b.split('x'))
                         for b in args.buckets.split(','))

@@ -150,19 +150,16 @@ def load_cfg(args):
     return cfg
 
 
-def get_model(name, pretrained=True, use_BA_block=True, way=2, shot=3,
-              classes=('fg', 'bg'), net='res50', seed=1996):
-    """-> (DanaConfig, params).  Parity: reference utils.get_model
-    (utils.py:108-127).  `name` is the framework (DAnA/cisa/frcnn/fsod/
-    meta/fgn); backbone names alias to DAnA on that backbone."""
-    from dana_tpu.models import dana
+def model_config_kwargs(way, shot, arch='resnet50'):
+    """DanaConfig kwargs derived from the global cfg — the single place
+    cfg keys map onto the model config, shared by get_model and
+    tools/export_serving.py (so exported artifacts honor the same YAML/
+    --set model settings the CLIs do)."""
+    import jax.numpy as jnp
+
     from dana_tpu.utils.config import cfg
 
-    if name in ('res50', 'res101', 'vgg16'):
-        net, name = name, 'DAnA'
-    arch = {'res50': 'resnet50', 'res101': 'resnet101',
-            'vgg16': 'vgg16'}[net]
-    common = dict(
+    return dict(
         n_way=way, n_shot=shot, arch=arch,
         anchor_scales=tuple(cfg.ANCHOR_SCALES),
         anchor_ratios=tuple(cfg.ANCHOR_RATIOS),
@@ -181,7 +178,28 @@ def get_model(name, pretrained=True, use_BA_block=True, way=2, shot=3,
         # int8 serving mode also routes the RoIAlign matmul onto the
         # int8 MXU (inference only; ops/roi_align.py)
         roi_align_int8=bool(cfg.TPU.QUANT_INT8),
+        # bf16 MXU compute with f32 masters (cfg.TPU.COMPUTE_DTYPE;
+        # 'float32' restores full-precision numerics for parity runs)
+        compute_dtype=jnp.bfloat16
+        if cfg.TPU.COMPUTE_DTYPE == 'bfloat16' else jnp.float32,
+        # device-side mean subtraction for TPU.SHIP_UINT8 surfaces uses
+        # the SAME means the f32 loader path subtracts on host
+        pixel_means=tuple(np.asarray(cfg.PIXEL_MEANS).ravel().tolist()),
     )
+
+
+def get_model(name, pretrained=True, use_BA_block=True, way=2, shot=3,
+              classes=('fg', 'bg'), net='res50', seed=1996):
+    """-> (DanaConfig, params).  Parity: reference utils.get_model
+    (utils.py:108-127).  `name` is the framework (DAnA/cisa/frcnn/fsod/
+    meta/fgn); backbone names alias to DAnA on that backbone."""
+    from dana_tpu.models import dana
+
+    if name in ('res50', 'res101', 'vgg16'):
+        net, name = name, 'DAnA'
+    arch = {'res50': 'resnet50', 'res101': 'resnet101',
+            'vgg16': 'vgg16'}[net]
+    common = model_config_kwargs(way, shot, arch)
     if name == 'DAnA':
         config = dana.DanaConfig(attention_type='concat',
                                  semantic_enhance=use_BA_block, **common)
