@@ -87,6 +87,14 @@ class DanaConfig:
     bbox_normalize_means: tuple = (0.0, 0.0, 0.0, 0.0)
     bbox_normalize_stds: tuple = (0.1, 0.1, 0.2, 0.2)
     compute_dtype: Any = jnp.float32
+    # Per-stage precision islands (None -> compute_dtype).  bf16 compute
+    # on an f32-trained checkpoint costs AP through the precision-
+    # sensitive stages while the conv trunk tolerates bf16 (PERF.md
+    # "bf16 compute and AP"): attention_dtype covers both CISA blocks
+    # (projections + softmax core), head_dtype covers the RPN conv heads
+    # and the whole R-CNN head (RoI tail, bbox/cls layers).
+    attention_dtype: Any = None
+    head_dtype: Any = None
     # FGN head BNs in batch-stats mode at train time (cfg.TRAIN.BN_TRAIN;
     # reference fgn.py head bn1/bn2 are ordinary nn.BatchNorm2d that train)
     bn_train: bool = False
@@ -95,6 +103,16 @@ class DanaConfig:
     # rematerialize backbone activations in the backward pass (trade
     # FLOPs for HBM; enables larger episodic batches per chip)
     remat_backbone: bool = False
+
+    @property
+    def attention_dt(self):
+        return (self.compute_dtype if self.attention_dtype is None
+                else self.attention_dtype)
+
+    @property
+    def head_dt(self):
+        return (self.compute_dtype if self.head_dtype is None
+                else self.head_dtype)
 
     @property
     def num_anchors(self):
@@ -265,16 +283,19 @@ def rcnn_head(params, config: DanaConfig, pooled_feat, support_pooled,
     Returns (bbox_pred [B,R,4], cls_prob [B,R,2], cls_score [B,R,2]).
     """
     b, r, ph, pw, c = pooled_feat.shape
+    adt, hdt = config.attention_dt, config.head_dt
+    pooled_feat = pooled_feat.astype(hdt)
     # bbox branch: tail (layer4+mean / fc6-fc7) -> Linear(tail_dim, 4)
     fc7 = backbone_tail(params, config,
                         pooled_feat.reshape(b * r, ph, pw, c))
     bbox_pred = L.linear(fc7.reshape(b, r, -1), params['RCNN_bbox_pred'])
 
-    q_tokens = pooled_feat.reshape(b, r, ph * pw, c)
+    q_tokens = pooled_feat.reshape(b, r, ph * pw, c).astype(adt)
     # PE on BOTH roi and support tokens is gated by pos_encoding
     # (reference dana.py:257-259).
     s_tokens = _support_tokens(
-        support_pooled, pe_table if config.pos_encoding else None)
+        support_pooled.astype(adt),
+        pe_table if config.pos_encoding else None)
     if config.pos_encoding:
         q_tokens = q_tokens + pe_table[:ph * pw]
     # rois attend supports: q [B,R,49,1024], s [B,shot,49,1024].  The
@@ -287,14 +308,15 @@ def rcnn_head(params, config: DanaConfig, pooled_feat, support_pooled,
                             config.rcnn_reduce_dim, config.unary_gamma,
                             use_fused=config.use_pallas_attention)
     tw = params['rcnn_transform_layer']
+    q, dense = q.astype(hdt), dense.astype(hdt)
     if config.attention_type == 'concat':
         # concat([q, dense]) @ W == q @ W[:C] + dense @ W[C:]: splitting
         # the weight skips materializing the [B, R, 49, 2C] concat
         # (~480 MB at eval shapes) — identical math, same param layout.
-        w = tw['weight'].astype(q.dtype)
+        w = tw['weight'].astype(hdt)
         corr = (jnp.einsum('brqc,cd->brqd', q, w[:c])
-                + jnp.einsum('brqc,cd->brqd', dense.astype(q.dtype), w[c:])
-                + tw['bias'].astype(q.dtype))                  # [B,R,49,64]
+                + jnp.einsum('brqc,cd->brqd', dense, w[c:])
+                + tw['bias'].astype(hdt))                      # [B,R,49,64]
     else:
         corr = L.linear(q * dense, tw)
     x = corr.reshape(b, r, -1)
@@ -330,9 +352,10 @@ def rpn_attention(params, config: DanaConfig, base_feat, support_feat,
     (dana.py:118-156). base_feat [B,h,w,1024], support_feat
     [B,shot,20,20,1024] -> correlation feat [B,h,w,din]."""
     b, h, w, c = base_feat.shape
-    q_tokens = base_feat.reshape(b, h * w, c)   # no PE on query (RPN path)
+    adt, hdt = config.attention_dt, config.head_dt
+    q_tokens = base_feat.reshape(b, h * w, c).astype(adt)  # no PE on query
     pe = rpn_pe_table if config.pos_encoding else None
-    s_tokens = _support_tokens(support_feat, pe)
+    s_tokens = _support_tokens(support_feat.astype(adt), pe)
     se = params.get('rpn_channel_k_layer') if config.semantic_enhance else None
     dense = _cisa_attention(q_tokens, s_tokens, params, 'rpn',
                             config.rpn_reduce_dim, config.unary_gamma,
@@ -340,8 +363,9 @@ def rpn_attention(params, config: DanaConfig, base_feat, support_feat,
                             use_fused=config.use_pallas_attention)
     dense = dense.reshape(b, h, w, c)
     if config.attention_type == 'concat':
-        return jnp.concatenate([base_feat, dense], axis=-1)
-    return base_feat * dense
+        return jnp.concatenate([base_feat.astype(hdt), dense.astype(hdt)],
+                               axis=-1)
+    return base_feat.astype(hdt) * dense.astype(hdt)
 
 
 def prep_query_images(config: DanaConfig, im_data):
@@ -412,9 +436,11 @@ def forward(params, config: DanaConfig, im_data, im_info, support_ims=None,
             f'{config.n_way}')
         neg_pooled = sup_pooled[:, config.n_shot:config.n_way * config.n_shot]
 
-    rpn_pe = jnp.asarray(positional_encoding(20 * 20, config.feat_dim), cdt)
+    rpn_pe = jnp.asarray(positional_encoding(20 * 20, config.feat_dim),
+                         config.attention_dt)
     roi_pe = jnp.asarray(
-        positional_encoding(config.pooling_size ** 2, config.feat_dim), cdt)
+        positional_encoding(config.pooling_size ** 2, config.feat_dim),
+        config.attention_dt)
 
     corr = rpn_attention(params, config, base_feat, pos_feat, rpn_pe)
 

@@ -147,6 +147,17 @@ def _default_cfg() -> AttrDict:
     # compute and AP").  Set 'bfloat16' for throughput once the
     # checkpoint/eval pair is validated at that precision.
     c.TPU.COMPUTE_DTYPE = 'float32'
+    # per-stage precision islands ('': follow COMPUTE_DTYPE).  Measured
+    # on the synth e2e eval (PERF.md "bf16 compute and AP"): pure bf16
+    # on an f32-trained checkpoint drops AP 0.175->0.119, and an f32
+    # HEAD island alone (RPN conv heads + whole R-CNN head) recovers it
+    # exactly at +4.7% forward cost, while bf16 attention is AP-neutral
+    # (the CISA cores accumulate in f32 already).  HEAD_DTYPE therefore
+    # defaults to 'float32' — a no-op under f32 compute, and the safe
+    # AP-preserving configuration under bfloat16; set 'bfloat16'
+    # explicitly for maximum-throughput at known AP cost.
+    c.TPU.ATTENTION_DTYPE = ''
+    c.TPU.HEAD_DTYPE = 'float32'
     c.TPU.PARAM_DTYPE = 'float32'
     # Query images are padded onto static (H, W) bucket canvases so each
     # bucket compiles exactly once (replaces per-batch dynamic padding).

@@ -150,6 +150,14 @@ def load_cfg(args):
     return cfg
 
 
+def _dt_or_none(name):
+    """'' -> None (follow compute_dtype); else the jnp dtype."""
+    if not name:
+        return None
+    import jax.numpy as jnp
+    return jnp.bfloat16 if name == 'bfloat16' else jnp.float32
+
+
 def model_config_kwargs(way, shot, arch='resnet50'):
     """DanaConfig kwargs derived from the global cfg — the single place
     cfg keys map onto the model config, shared by get_model and
@@ -182,6 +190,10 @@ def model_config_kwargs(way, shot, arch='resnet50'):
         # 'float32' restores full-precision numerics for parity runs)
         compute_dtype=jnp.bfloat16
         if cfg.TPU.COMPUTE_DTYPE == 'bfloat16' else jnp.float32,
+        # optional f32 islands under bf16 compute (PERF.md "bf16
+        # compute and AP")
+        attention_dtype=_dt_or_none(cfg.TPU.ATTENTION_DTYPE),
+        head_dtype=_dt_or_none(cfg.TPU.HEAD_DTYPE),
         # device-side mean subtraction for TPU.SHIP_UINT8 surfaces uses
         # the SAME means the f32 loader path subtracts on host
         pixel_means=tuple(np.asarray(cfg.PIXEL_MEANS).ravel().tolist()),
