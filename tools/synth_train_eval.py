@@ -7,6 +7,7 @@ synth_test with the full inference + COCOeval pipeline and prints AP.
 Usage: python tools/synth_train_eval.py [epochs] (default 20)
 """
 
+import os
 import sys
 import time
 
@@ -38,13 +39,18 @@ from dana_tpu.models.layers import to_jnp
 
 
 def main(epochs=20, train_name='synth_train', test_name='synth_test',
-         arch='resnet50'):
+         arch='resnet50', dtype='f32'):
     imdb_tr, roidb_tr, _, _ = combined_roidb(train_name, training=False,
                                              use_flipped=False)
+    # dtype='bf16': the production mixed-precision recipe — bf16 trunk,
+    # f32 head island, f32 master params/optimizer (PERF.md "bf16
+    # compute and AP"); eval runs the same config.
+    dt = dict(compute_dtype=jnp.bfloat16, head_dtype=jnp.float32) \
+        if dtype == 'bf16' else {}
     config = dana.DanaConfig(
         n_way=2, n_shot=2, arch=arch, anchor_scales=(4, 8, 16, 32),
         train_pre_nms=600, train_post_nms=128, test_pre_nms=600,
-        test_post_nms=64, nms_cap=600, rois_per_image=32)
+        test_post_nms=64, nms_cap=600, rois_per_image=32, **dt)
     params = to_jnp(dana.init_params(config, seed=0))
     trainable = optim.trainable_mask(params)
     state = te.create_train_state(params, 2e-3)
@@ -121,8 +127,10 @@ def main(epochs=20, train_name='synth_train', test_name='synth_test',
             ck.save_checkpoint('/root/repo/.scratch/synth_partial.dkpt',
                                jax.device_get(state.params), epoch=e)
 
-    ck.save_checkpoint('/root/repo/.scratch/synth_final.dkpt',
-                       jax.device_get(state.params), epoch=epochs)
+    out_ckpt = os.environ.get('SYNTH_OUT_CKPT',
+                              '/root/repo/.scratch/synth_final.dkpt')
+    ck.save_checkpoint(out_ckpt, jax.device_get(state.params),
+                       epoch=epochs)
 
     # ---------------- eval ----------------
     imdb_te, roidb_te, _, _ = combined_roidb(test_name, training=False,
@@ -155,7 +163,7 @@ def main(epochs=20, train_name='synth_train', test_name='synth_test',
 
 if __name__ == '__main__':
     main(int(sys.argv[1]) if len(sys.argv) > 1 else 20,
-         *(sys.argv[2:5] or ()))
+         *(sys.argv[2:6] or ()))
 
 # Results (TPU v5e, random init, 2-way 2-shot, 60 train images):
 #   30 epochs (3.6k steps, ~4 min):  AP 0.139  AP50 0.202
