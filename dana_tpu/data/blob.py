@@ -25,6 +25,8 @@ try:
 except ImportError:                                    # pragma: no cover
     cv2 = None
 
+from dana_tpu import native as _native
+
 # (H, W) canvases: landscape / portrait / square, sized to cover the
 # reference TEST scale (600 shortest side, uncapped long side) for
 # aspect ratios up to 2 — beyond that snap_bucket synthesizes a canvas.
@@ -77,7 +79,8 @@ def prep_im_for_blob(im, pixel_means, target_size, max_size=None):
     cap-disabled behavior, blob.py:44-46).
 
     Returns (image, scale). Parity: blob.py:35-52."""
-    im = im.astype(np.float32) - pixel_means
+    sub = _native.meansub(im, pixel_means)   # fused native pass, ~6x numpy
+    im = sub if sub is not None else im.astype(np.float32) - pixel_means
     h, w = im.shape[:2]
     scale = query_scale(h, w, target_size, max_size)
     im = cv2.resize(im, None, fx=scale, fy=scale,
@@ -135,6 +138,17 @@ def s2d_pack(im, u8_pad=None):
         im = im[None]
     b, h, w, c = im.shape
     assert h % 2 == 0 and w % 2 == 0, (h, w)
+    if c == 3 and im.dtype in (np.float32, np.uint8) and _native.available():
+        # fused native pack (native/host_ops.cpp pad_s2d_*): one pass,
+        # no padded intermediate — ~6x the strided-numpy formulation on
+        # this one-core host; bit-identical layout (tests/test_native.py)
+        pad3 = ((U8_PAD_MEANS if u8_pad is None else u8_pad)
+                if im.dtype == np.uint8 else None)
+        out = [_native.pad_s2d(np.ascontiguousarray(im[i]), (h, w), pad3)
+               for i in range(b)]
+        if all(o is not None for o in out):
+            xd = np.stack(out)
+            return xd[0] if single else xd
     if im.dtype == np.uint8 and c == 3:
         # raw uint8 pixels (TPU.SHIP_UINT8): the conv pad-3 border must
         # be ~0 AFTER device mean-sub -> fill with the rounded means
@@ -195,11 +209,62 @@ def query_blob_u8(im, target_size=600, max_size=None, flipped=False,
     return out, np.array([h, w, scale], np.float32)
 
 
+def query_blob_packed(im, pixel_means, target_size=600, max_size=None,
+                      flipped=False, buckets=DEFAULT_BUCKETS,
+                      ship_uint8=False):
+    """query_blob (or query_blob_u8) fused with the stem's s2d packing:
+    (raw BGR image) -> ([(H+6)/2, (W+6)/2, 12], im_info).
+
+    Numerically identical to `s2d_pack(query_blob(...)[0])` (pinned by
+    tests/test_native.py) but runs the canvas pad + pack as ONE native
+    pass straight from the resized image — the padded 3-channel canvas
+    never exists (~11 ms/img of numpy traffic on this host).  Falls back
+    to the two-step path when the native library is unavailable."""
+    if ship_uint8:
+        if flipped:
+            im = im[:, ::-1, :]
+        imu = np.ascontiguousarray(im, np.uint8)
+        h, w = imu.shape[:2]
+        scale = query_scale(h, w, target_size, max_size)
+        imu = cv2.resize(imu, None, fx=scale, fy=scale,
+                         interpolation=cv2.INTER_LINEAR)
+        h, w = imu.shape[:2]
+        canvas = pick_bucket(h, w, buckets)
+        pad3 = (U8_PAD_MEANS if pixel_means is None
+                else u8_pad_of(pixel_means))
+        packed = _native.pad_s2d(imu, canvas, pad3)
+        if packed is None:
+            data, info = query_blob_u8(im, target_size, max_size,
+                                       buckets=buckets,
+                                       pixel_means=pixel_means)
+            return s2d_pack(data, u8_pad=pad3), info
+        return packed, np.array([h, w, scale], np.float32)
+    if flipped:
+        im = im[:, ::-1, :]
+    sub = _native.meansub(np.ascontiguousarray(im), pixel_means)
+    if sub is None:                                     # no native lib
+        data, info = query_blob(im, pixel_means, target_size, max_size,
+                                buckets=buckets)
+        return s2d_pack(data), info
+    h, w = sub.shape[:2]
+    scale = query_scale(h, w, target_size, max_size)
+    sub = cv2.resize(sub, None, fx=scale, fy=scale,
+                     interpolation=cv2.INTER_LINEAR)
+    h, w = sub.shape[:2]
+    canvas = pick_bucket(h, w, buckets)
+    packed = _native.pad_s2d(sub, canvas)
+    if packed is None:                                  # odd custom canvas
+        return s2d_pack(pad_to_canvas(sub, canvas)), \
+            np.array([h, w, scale], np.float32)
+    return packed, np.array([h, w, scale], np.float32)
+
+
 def support_blob(im, box, pixel_means, out_size=320):
     """Crop a support box, resize long side -> out_size, zero-pad to
     [out_size, out_size, 3].  Parity: fs_loader.py:103-138 (crop includes
     the +1 end pixel; cv2 INTER_LINEAR; top-left padding)."""
-    im = im.astype(np.float32) - pixel_means
+    sub = _native.meansub(im, pixel_means)
+    im = sub if sub is not None else im.astype(np.float32) - pixel_means
     x1, y1, x2, y2 = [int(v) for v in box[:4]]
     crop = im[y1:y2 + 1, x1:x2 + 1, :]
     h, w = crop.shape[:2]

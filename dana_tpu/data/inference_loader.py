@@ -89,7 +89,7 @@ class InferenceLoader:
 
     def __init__(self, roidb, pool: SupportPool, max_num_box=20,
                  buckets=None, scale=None, max_size=None,
-                 pixel_means=None):
+                 pixel_means=None, pack_s2d=False):
         from dana_tpu.utils.config import cfg
         buckets = buckets or [tuple(b) for b in cfg.TPU.SIZE_BUCKETS]
         scale = scale or cfg.TEST.SCALES[0]
@@ -109,8 +109,17 @@ class InferenceLoader:
         # ship raw uint8 queries (device-side mean-sub; 4x less wire
         # traffic — cfg knob, see utils/config.py TPU.SHIP_UINT8)
         self.ship_uint8 = bool(cfg.TPU.SHIP_UINT8)
+        # emit stem-ready s2d-packed queries ([H', W', 12]) through the
+        # fused native pad+pack kernel — the 3-channel canvas never
+        # materializes (inference.py sets this when cfg.TPU.STEM_S2D)
+        self.pack_s2d = pack_s2d
 
     def _query_blob(self, im, flipped=False):
+        if self.pack_s2d:
+            return blob.query_blob_packed(im, self.pixel_means, self.scale,
+                                          self.max_size, flipped=flipped,
+                                          buckets=self.buckets,
+                                          ship_uint8=self.ship_uint8)
         if self.ship_uint8:
             return blob.query_blob_u8(im, self.scale, self.max_size,
                                       flipped=flipped,

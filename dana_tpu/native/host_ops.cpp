@@ -82,3 +82,102 @@ int64_t greedy_nms(const float* boxes, const float* scores, int64_t n,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Host image-prep kernels (data/blob.py hot path).
+//
+// The reference preps blobs with numpy per image (lib/model/utils/blob.py,
+// minibatch.py); on a TPU host the prep feeds a device ~10x faster than the
+// numpy path can pack (PERF.md round 3 host-path study), so the bandwidth-
+// bound passes run here as single-pass fused loops: mean subtraction,
+// canvas padding, and the stem's 2x2 space-to-depth packing (one write per
+// output byte, no intermediate canvases).  Layout contracts match
+// blob.s2d_pack exactly: output [(ch+6)/2, (cw+6)/2, 4*3] with the conv1
+// pad-3 border pre-applied and channel order (row-phase, col-phase, c).
+// (The core is a template, which may not carry C linkage.)
+
+// Fused canvas-pad + space-to-depth core; see pad_s2d_f32/u8 below.
+template <typename T>
+static void pad_s2d_impl(const T* src, int64_t h, int64_t w, int64_t ch,
+                         int64_t cw, const T* pad3, T* dst) {
+  const int64_t hp = ch + 6, wp = cw + 6;
+  const int64_t oh = hp / 2, ow = wp / 2;
+  for (int64_t oy = 0; oy < oh; ++oy) {
+    T* drow = dst + oy * ow * 12;
+    for (int64_t i2 = 0; i2 < 2; ++i2) {
+      const int64_t yy = 2 * oy + i2 - 3;        // source row
+      const bool yin = yy >= 0 && yy < h;
+      const T* srow = src + (yin ? yy * w * 3 : 0);
+      for (int64_t j2 = 0; j2 < 2; ++j2) {
+        const int64_t kc = (i2 * 2 + j2) * 3;
+        if (!yin) {
+          for (int64_t ox = 0; ox < ow; ++ox) {
+            T* d = drow + ox * 12 + kc;
+            d[0] = pad3[0]; d[1] = pad3[1]; d[2] = pad3[2];
+          }
+          continue;
+        }
+        // xx = 2*ox + j2 - 3 in [0, w) <=> ox in [x0, x1)
+        const int64_t x0 = (3 - j2 + 1) / 2;              // first in-range ox
+        const int64_t x1_excl = (w + 3 - j2 + 1) / 2;     // first out ox
+        const int64_t xe = x1_excl < ow ? x1_excl : ow;
+        for (int64_t ox = 0; ox < x0 && ox < ow; ++ox) {
+          T* d = drow + ox * 12 + kc;
+          d[0] = pad3[0]; d[1] = pad3[1]; d[2] = pad3[2];
+        }
+        for (int64_t ox = x0; ox < xe; ++ox) {
+          const T* s = srow + (2 * ox + j2 - 3) * 3;
+          T* d = drow + ox * 12 + kc;
+          d[0] = s[0]; d[1] = s[1]; d[2] = s[2];
+        }
+        for (int64_t ox = xe > x0 ? xe : x0; ox < ow; ++ox) {
+          T* d = drow + ox * 12 + kc;
+          d[0] = pad3[0]; d[1] = pad3[1]; d[2] = pad3[2];
+        }
+      }
+    }
+  }
+}
+
+extern "C" {
+
+// dst[i] = src[i] - mean3[i % 3]  (u8 -> f32, fused astype+subtract)
+void meansub_u8(const uint8_t* src, int64_t npix, const float* mean3,
+                float* dst) {
+  const float m0 = mean3[0], m1 = mean3[1], m2 = mean3[2];
+  for (int64_t p = 0; p < npix; ++p) {
+    dst[p * 3 + 0] = static_cast<float>(src[p * 3 + 0]) - m0;
+    dst[p * 3 + 1] = static_cast<float>(src[p * 3 + 1]) - m1;
+    dst[p * 3 + 2] = static_cast<float>(src[p * 3 + 2]) - m2;
+  }
+}
+
+// f32 variant (imread may already hold f32 pixels)
+void meansub_f32(const float* src, int64_t npix, const float* mean3,
+                 float* dst) {
+  const float m0 = mean3[0], m1 = mean3[1], m2 = mean3[2];
+  for (int64_t p = 0; p < npix; ++p) {
+    dst[p * 3 + 0] = src[p * 3 + 0] - m0;
+    dst[p * 3 + 1] = src[p * 3 + 1] - m1;
+    dst[p * 3 + 2] = src[p * 3 + 2] - m2;
+  }
+}
+
+// Fused canvas-pad + space-to-depth for one image.
+//
+// src [h, w, 3] sits top-left on a logical (ch, cw) canvas (ch, cw even);
+// the canvas gets the conv1 pad-3 border; output is the 2x2-strided pack
+// dst [(ch+6)/2, (cw+6)/2, 12].  Every out-of-source position (canvas pad
+// AND conv border) takes pad3 — 0 for mean-subtracted f32, the rounded
+// means for raw u8 (both paths pad with one value; blob.py:138-145).
+void pad_s2d_f32(const float* src, int64_t h, int64_t w, int64_t ch,
+                 int64_t cw, const float* pad3, float* dst) {
+  pad_s2d_impl<float>(src, h, w, ch, cw, pad3, dst);
+}
+
+void pad_s2d_u8(const uint8_t* src, int64_t h, int64_t w, int64_t ch,
+                int64_t cw, const uint8_t* pad3, uint8_t* dst) {
+  pad_s2d_impl<uint8_t>(src, h, w, ch, cw, pad3, dst);
+}
+
+}  // extern "C"

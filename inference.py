@@ -108,8 +108,12 @@ def main(argv=None):
         sup_dir = None
     pool = SupportPool(imdb_.classes, args.shot, support_dir=sup_dir,
                        support_roidb=support_roidb, seed=0)
+    pack_s2d = bool(cfg.TPU.STEM_S2D) and args.backbone != 'vgg16'
     loader = InferenceLoader(roidb, pool,
-                             max_num_box=cfg.MAX_NUM_GT_BOXES)
+                             max_num_box=cfg.MAX_NUM_GT_BOXES,
+                             # queries arrive stem-packed [H',W',12] from
+                             # the fused native pad+s2d kernel
+                             pack_s2d=pack_s2d)
 
     from dana_tpu.models import frameworks
     model_name = 'DAnA' if args.net in ('res50', 'res101', 'vgg16') \
@@ -186,7 +190,6 @@ def main(argv=None):
               for s in range(0, len(idxs), eval_bs)]
 
     from dana_tpu.data import blob as blob_lib
-    pack_s2d = bool(cfg.TPU.STEM_S2D) and args.backbone != 'vgg16'
 
     def assemble(chunk):
         """Host-side batch assembly (imread/resize/pad + optional stem
@@ -194,15 +197,23 @@ def main(argv=None):
         overlapped with device compute."""
         pad = eval_bs - len(chunk)
         items = [loader[i] for i in chunk]
+        keys = ('im_data', 'im_info') if use_sup_cache \
+            else ('im_data', 'im_info', 'support_ims')
         batch = {k: np.stack([it[k] for it in items] +
                              [items[-1][k]] * pad)
-                 for k in ('im_data', 'im_info', 'support_ims')}
-        if pack_s2d and batch['im_data'].shape[1] % 2 == 0 \
+                 for k in keys}
+        if pack_s2d and batch['im_data'].shape[-1] == 3 \
+                and batch['im_data'].shape[1] % 2 == 0 \
                 and batch['im_data'].shape[2] % 2 == 0:
-            # odd custom canvases fall back to the direct 3-channel stem
+            # loader.pack_s2d already emitted 12-channel queries; this
+            # branch only packs canvases a non-s2d loader produced (odd
+            # custom canvases fall back to the direct 3-channel stem)
             batch['im_data'] = blob_lib.s2d_pack(
                 batch['im_data'],
                 u8_pad=blob_lib.u8_pad_of(loader.pixel_means))
+        if pack_s2d and 'support_ims' in batch:
+            # cached-support models never read batch supports — only
+            # sibling frameworks (FSOD/meta/FGN) consume them here
             batch['support_ims'] = blob_lib.s2d_pack_any(
                 batch['support_ims'])
         classes = [it['target_cls'] for it in items] \

@@ -4,6 +4,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from dana_tpu import native
+from dana_tpu.data import blob
 from dana_tpu.ops.nms import nms_fixed
 
 
@@ -42,3 +43,83 @@ def test_native_overlaps_match_numpy():
     got = native.bbox_overlaps(boxes, query)
     ref = native._bbox_overlaps_np(boxes[:, :4], query[:, :4])
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+
+# ---------------- host image-prep kernels ----------------
+
+def _np_s2d(im, u8_pad=None):
+    """The original strided-numpy s2d_pack formulation, as the oracle."""
+    b, h, w, c = im.shape
+    if im.dtype == np.uint8 and c == 3:
+        xp = np.empty((b, h + 6, w + 6, c), im.dtype)
+        xp[:] = blob.U8_PAD_MEANS if u8_pad is None else u8_pad
+    else:
+        xp = np.zeros((b, h + 6, w + 6, c), im.dtype)
+    xp[:, 3:3 + h, 3:3 + w] = im
+    xd = np.empty((b, (h + 6) // 2, (w + 6) // 2, 4 * c), im.dtype)
+    for i2 in range(2):
+        for j2 in range(2):
+            k = (i2 * 2 + j2) * c
+            xd[..., k:k + c] = xp[:, i2::2, j2::2, :]
+    return xd
+
+
+def test_native_s2d_pack_exact():
+    rng = np.random.default_rng(0)
+    for dtype in (np.float32, np.uint8):
+        im = (rng.random((2, 64, 96, 3)) * 255).astype(dtype)
+        np.testing.assert_array_equal(blob.s2d_pack(im), _np_s2d(im))
+
+
+def test_native_pad_s2d_fused_exact():
+    """native.pad_s2d == s2d(pad_to_canvas(im)) for both dtypes."""
+    rng = np.random.default_rng(1)
+    im = (rng.random((60, 80, 3)) * 255 - 120).astype(np.float32)
+    canvas = (64, 96)
+    ref = _np_s2d(blob.pad_to_canvas(im, canvas)[None])[0]
+    got = native.pad_s2d(im, canvas)
+    np.testing.assert_array_equal(got, ref)
+
+    imu = (rng.random((60, 80, 3)) * 255).astype(np.uint8)
+    cu = np.empty((64, 96, 3), np.uint8)
+    cu[:] = blob.U8_PAD_MEANS
+    cu[:60, :80] = imu
+    refu = _np_s2d(cu[None])[0]
+    gotu = native.pad_s2d(imu, canvas, blob.U8_PAD_MEANS)
+    np.testing.assert_array_equal(gotu, refu)
+
+
+def test_native_meansub_exact():
+    rng = np.random.default_rng(2)
+    means = np.array([[[102.9801, 115.9465, 122.7717]]])
+    imu = (rng.random((40, 56, 3)) * 255).astype(np.uint8)
+    np.testing.assert_array_equal(
+        native.meansub(imu, means),
+        (imu.astype(np.float32) - means.astype(np.float32)))
+    imf = imu.astype(np.float32)
+    np.testing.assert_array_equal(
+        native.meansub(imf, means),
+        imf - means.astype(np.float32))
+
+
+def test_query_blob_packed_matches_two_step():
+    """Fused loader path == s2d_pack(query_blob(...)) bit-for-bit."""
+    rng = np.random.default_rng(3)
+    means = np.array([[[102.9801, 115.9465, 122.7717]]])
+    im = (rng.random((120, 180, 3)) * 255).astype(np.float32)
+    buckets = ((128, 192), (192, 128))
+    packed, info = blob.query_blob_packed(im, means, target_size=100,
+                                          buckets=buckets)
+    data, info2 = blob.query_blob(im, means, target_size=100,
+                                  buckets=buckets)
+    np.testing.assert_array_equal(info, info2)
+    np.testing.assert_array_equal(packed, blob.s2d_pack(data))
+
+    # uint8 shipping variant
+    p_u8, info3 = blob.query_blob_packed(im, means, target_size=100,
+                                         buckets=buckets, ship_uint8=True)
+    d_u8, info4 = blob.query_blob_u8(im, 100, buckets=buckets,
+                                     pixel_means=means)
+    np.testing.assert_array_equal(info3, info4)
+    np.testing.assert_array_equal(
+        p_u8, blob.s2d_pack(d_u8, u8_pad=blob.u8_pad_of(means)))
