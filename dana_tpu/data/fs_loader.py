@@ -84,6 +84,13 @@ class FewShotLoader:
         self.allowed_classes = (set(allowed_classes)
                                 if allowed_classes is not None else None)
         self.support_db = build_support_db(roidb, num_classes)
+        # decoded-support cache: support_blob is deterministic in
+        # (roidb_idx, box) and the per-class pools are small, so the same
+        # crops recur every few episodes — re-decoding them dominated
+        # episode prep (~33 of 45 ms on a one-core host, PERF.md r3).
+        # FIFO-bounded; cfg.TPU.SUPPORT_CACHE entries (0 disables).
+        self._sup_cache = {}
+        self._sup_cache_cap = int(cfg.TPU.SUPPORT_CACHE)
 
     def _class_has_supports(self, cls: int) -> bool:
         return bool(self.support_db[cls])
@@ -108,10 +115,20 @@ class FewShotLoader:
         return blob.imread_bgr(entry['image'])
 
     def _support_image(self, info, rng):
+        key = (int(info['roidb_idx']),
+               tuple(float(v) for v in info['box'][:4]))
+        hit = self._sup_cache.get(key) if self._sup_cache_cap else None
+        if hit is not None:
+            return hit
         entry = self.roidb[info['roidb_idx']]
         im = self._read(entry)
-        return blob.support_blob(im, info['box'], self.pixel_means,
-                                 self.support_size)
+        out = blob.support_blob(im, info['box'], self.pixel_means,
+                                self.support_size)
+        if self._sup_cache_cap:
+            if len(self._sup_cache) >= self._sup_cache_cap:
+                self._sup_cache.pop(next(iter(self._sup_cache)))
+            self._sup_cache[key] = out
+        return out
 
     def _sample_supports(self, cls, rng, replace_ok=True):
         pool = self.support_db[cls]
@@ -234,11 +251,21 @@ class FinetuneLoader(FewShotLoader):
                          replace=len(files) < self.num_shot)
         out = []
         for i in idx:
-            im = blob.imread_bgr(files[int(i)])
+            path = files[int(i)]
+            hit = self._sup_cache.get(path) if self._sup_cache_cap \
+                else None
+            if hit is not None:
+                out.append(hit)
+                continue
+            im = blob.imread_bgr(path)
             h, w = im.shape[:2]
-            out.append(blob.support_blob(im, [0, 0, w - 1, h - 1],
-                                         self.pixel_means,
-                                         self.support_size))
+            s = blob.support_blob(im, [0, 0, w - 1, h - 1],
+                                  self.pixel_means, self.support_size)
+            if self._sup_cache_cap:
+                if len(self._sup_cache) >= self._sup_cache_cap:
+                    self._sup_cache.pop(next(iter(self._sup_cache)))
+                self._sup_cache[path] = s
+            out.append(s)
         return out
 
 

@@ -151,3 +151,25 @@ def test_allcls_loader_lazy_resample(synth):
     loader.pool.get = counting_get
     loader[2]
     assert len(calls) == 1        # one class decoded, not num_classes
+
+
+def test_support_cache_exact(tmp_path, monkeypatch):
+    """Decoded-support FIFO cache returns bit-identical episodes."""
+    import numpy as np
+    from dana_tpu.utils.config import cfg
+    from dana_tpu.data.imdb import combined_roidb
+    from dana_tpu.data.fs_loader import FewShotLoader
+    monkeypatch.setenv('DANA_SYNTH_ROOT', str(tmp_path / 'synth'))
+    imdb, roidb, _, _ = combined_roidb('synth_train', training=True,
+                                       use_flipped=False)
+    warm = FewShotLoader(roidb, imdb.num_classes, num_way=2, num_shot=2,
+                         seed=3)
+    _ = [warm[i] for i in range(6)]          # populate the cache
+    assert warm._sup_cache                    # something got cached
+    monkeypatch.setitem(cfg.TPU, 'SUPPORT_CACHE', 0)
+    cold = FewShotLoader(roidb, imdb.num_classes, num_way=2, num_shot=2,
+                         seed=3)
+    for i in range(6):
+        a, b = warm[i], cold[i]
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k])
