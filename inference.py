@@ -165,16 +165,26 @@ def main(argv=None):
     # --mGPUs: data-parallel eval over all local devices — query batch
     # sharded on the mesh's 'data' axis, params/support-features
     # replicated; XLA partitions the whole forward (the reference's only
-    # eval parallelism is none — inference.py:88 runs bs=1 serially)
+    # eval parallelism is none — inference.py:88 runs bs=1 serially).
+    # --tp N: latency-mode serving — the wide projection weights shard
+    # over a (data, model=N) mesh (parallel.shard_params_tp) so EACH
+    # query's forward spreads over N chips; combines with --mGPUs for a
+    # full dp x tp serving mesh.
     eval_mesh = None
-    if args.mGPUs and len(jax.devices()) > 1:
+    tp = max(1, args.tp)
+    if (args.mGPUs or tp > 1) and len(jax.devices()) > 1:
         from dana_tpu import parallel as par
-        eval_mesh = par.make_mesh()
-        n_dev = len(jax.devices())
-        eval_bs = max(eval_bs, n_dev)
-        eval_bs += (-eval_bs) % n_dev          # divisible by device count
-        params = par.replicate(params, eval_mesh)
-        print(f'data-parallel eval over {n_dev} devices (bs {eval_bs})')
+        if tp > 1:
+            eval_mesh = par.make_mesh_2d(model=tp)
+            params = par.shard_params_tp(params, eval_mesh)
+        else:
+            eval_mesh = par.make_mesh()
+            params = par.replicate(params, eval_mesh)
+        n_data = int(eval_mesh.devices.shape[0])
+        eval_bs = max(eval_bs, n_data)
+        eval_bs += (-eval_bs) % n_data        # divisible by the data axis
+        print(f'parallel eval: data={n_data} x model={tp} '
+              f'(bs {eval_bs})')
 
         _batch_sharding = jax.sharding.NamedSharding(
             eval_mesh, jax.sharding.PartitionSpec('data'))

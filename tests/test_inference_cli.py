@@ -51,40 +51,30 @@ def test_inference_cli_smoke(tmp_path, monkeypatch):
                 assert np.all(np.isfinite(d))
 
 
-def test_inference_cli_mgpus_matches_single(tmp_path, monkeypatch):
-    """--mGPUs data-parallel eval (batch sharded over the CPU mesh)
-    produces the same detections as the single-device run."""
-    import jax
-    if len(jax.devices()) < 4:
-        pytest.skip('needs multi-device CPU platform')
-    monkeypatch.setenv('DANA_SYNTH_ROOT', str(tmp_path / 'synth'))
+BASE_ARGS = [
+    '--dataset', 'synth', '--net', 'DAnA', '--backbone', 'res50',
+    '--way', '1', '--shot', '1', '--seed', '5',
+    '--set',
+    'TEST.SCALES', '(128,)', 'TEST.MAX_SIZE', '192',
+    'TEST.RPN_PRE_NMS_TOP_N', '300', 'TEST.RPN_POST_NMS_TOP_N', '32',
+    'TPU.NMS_MAX_INPUT', '300',
+    'TPU.SIZE_BUCKETS', '[(128, 192), (192, 128), (160, 160)]',
+]
 
-    import inference as inference_cli
-    base = [
-        '--dataset', 'synth', '--net', 'DAnA', '--backbone', 'res50',
-        '--way', '1', '--shot', '1', '--seed', '5',
-        '--set',
-        'TEST.SCALES', '(128,)', 'TEST.MAX_SIZE', '192',
-        'TEST.RPN_PRE_NMS_TOP_N', '300', 'TEST.RPN_POST_NMS_TOP_N', '32',
-        'TPU.NMS_MAX_INPUT', '300',
-        'TPU.SIZE_BUCKETS', '[(128, 192), (192, 128), (160, 160)]',
-    ]
-    out1 = str(tmp_path / 'eval1')
-    inference_cli.main(base + ['--bs', '4', '--eval_dir', out1])
-    out2 = str(tmp_path / 'eval2')
-    inference_cli.main(base + ['--bs', '4', '--eval_dir', out2,
-                               '--mGPUs'])
 
-    with open(osp.join(out1, 'detections.pkl'), 'rb') as f:
+def _assert_detections_match(path_a, path_b):
+    """Compare two detections.pkl up to equal-score tie permutation.
+
+    Random-init params produce many detections with IDENTICAL scores
+    (saturated softmax); among equal-score boxes the kept set after NMS
+    depends on tie order, which differs between compiled programs of
+    different batch/mesh shapes.  The well-defined invariant is: same
+    per-cell count, same score multiset, and identical boxes for every
+    score that is unique within its cell."""
+    with open(osp.join(path_a, 'detections.pkl'), 'rb') as f:
         a = pickle.load(f)
-    with open(osp.join(out2, 'detections.pkl'), 'rb') as f:
+    with open(osp.join(path_b, 'detections.pkl'), 'rb') as f:
         b = pickle.load(f)
-    # Random-init params produce many detections with IDENTICAL scores
-    # (saturated softmax); among equal-score boxes the kept set after
-    # NMS depends on tie order, which differs between the bs4 and the
-    # sharded-bs8 compiled programs.  The well-defined invariant is:
-    # same per-cell count, same score multiset, and identical boxes for
-    # every score that is unique within its cell.
     for ca, cb in zip(a, b):
         for da, db in zip(ca, cb):
             da = np.asarray(da) if isinstance(da, np.ndarray) else None
@@ -104,3 +94,38 @@ def test_inference_cli_mgpus_matches_single(tmp_path, monkeypatch):
                 if len(rb) == 1:
                     np.testing.assert_allclose(ra, rb, rtol=1e-4,
                                                atol=1e-4)
+
+
+def test_inference_cli_mgpus_matches_single(tmp_path, monkeypatch):
+    """--mGPUs data-parallel eval (batch sharded over the CPU mesh)
+    produces the same detections as the single-device run."""
+    import jax
+    if len(jax.devices()) < 4:
+        pytest.skip('needs multi-device CPU platform')
+    monkeypatch.setenv('DANA_SYNTH_ROOT', str(tmp_path / 'synth'))
+
+    import inference as inference_cli
+    out1 = str(tmp_path / 'eval1')
+    inference_cli.main(BASE_ARGS + ['--bs', '4', '--eval_dir', out1])
+    out2 = str(tmp_path / 'eval2')
+    inference_cli.main(BASE_ARGS + ['--bs', '4', '--eval_dir', out2,
+                                    '--mGPUs'])
+    _assert_detections_match(out1, out2)
+
+
+def test_inference_cli_tp_matches_single(tmp_path, monkeypatch):
+    """--tp 2 latency-mode eval (projection weights column-sharded over
+    the mesh 'model' axis, inference.py --tp) produces the same
+    detections as the single-device run."""
+    import jax
+    if len(jax.devices()) < 4:
+        pytest.skip('needs multi-device CPU platform')
+    monkeypatch.setenv('DANA_SYNTH_ROOT', str(tmp_path / 'synth'))
+
+    import inference as inference_cli
+    out1 = str(tmp_path / 'eval1')
+    inference_cli.main(BASE_ARGS + ['--bs', '4', '--eval_dir', out1])
+    out2 = str(tmp_path / 'eval2')
+    inference_cli.main(BASE_ARGS + ['--bs', '4', '--eval_dir', out2,
+                                    '--tp', '2'])
+    _assert_detections_match(out1, out2)

@@ -41,6 +41,11 @@ def parse_args(argv=None):
     parser.add_argument('--ls', dest='large_scale', action='store_true')
     parser.add_argument('--mGPUs', dest='mGPUs', action='store_true',
                         help='data-parallel over all local devices')
+    parser.add_argument('--tp', dest='tp', default=0, type=int,
+                        help='tensor-parallel degree (inference: shards '
+                             'the wide projection weights over a '
+                             '(data, model) mesh for latency-mode '
+                             'serving; combines with --mGPUs)')
     parser.add_argument('--bs', dest='batch_size', default=16, type=int)
     parser.add_argument('--start_epoch', default=1, type=int)
     parser.add_argument('--epochs', dest='max_epochs', default=12, type=int)
