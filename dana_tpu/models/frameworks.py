@@ -47,8 +47,13 @@ def trunk(params, config: DanaConfig, base_feat, corr_feat, im_info,
     uses the episode gt).  Returns dict with rois, pooled [B,R,7,7,C],
     and at train time the rpn losses + roi targets/labels."""
     b, fh, fw, _ = corr_feat.shape
+    # f32 head island under bf16 compute (config.head_dt — same
+    # boundary as dana.rpn_attention/rcnn_head; PERF.md "bf16 compute
+    # and AP"): the RPN conv heads and everything downstream of RoI
+    # pooling run in head_dt, the conv trunk stays in compute_dtype
     logits, probs_fg, deltas = rpn_lib.rpn_forward(
-        corr_feat, params['RCNN_rpn'], config.num_anchors)
+        corr_feat.astype(config.head_dt), params['RCNN_rpn'],
+        config.num_anchors)
     base_anchor = generate_anchors(
         ratios=config.anchor_ratios, scales=np.array(config.anchor_scales))
     anchors = shifted_anchors(fh, fw, config.feat_stride, base_anchor)
@@ -88,19 +93,24 @@ def trunk(params, config: DanaConfig, base_feat, corr_feat, im_info,
         out.update(rois_label=rois_label, rois_target=rois_target,
                    rois_in_w=rois_in_w, rois_out_w=rois_out_w)
     out['rois'] = rois
+    # RoIAlign runs in the trunk dtype; the pooled features cross into
+    # the head island here
     out['pooled'] = _pool_rois(config, base_feat,
                                rois.astype(base_feat.dtype),
-                               training=training)
+                               training=training).astype(config.head_dt)
     return out
 
 
 def _finish_episodic(out, config, head_fn, pooled, pos_sup, neg_sup,
                      training):
     """Run the head on pos (and at train, neg) supports; attach the shared
-    smooth-L1 + hard-mined CE losses (dana.py:193-215 pattern)."""
-    bbox_pred, cls_prob, cls_score = head_fn(pooled, pos_sup)
+    smooth-L1 + hard-mined CE losses (dana.py:193-215 pattern).  Support-
+    side head inputs cross into the f32 head island here (pooled already
+    arrives in head_dt from trunk)."""
+    hdt = config.head_dt
+    bbox_pred, cls_prob, cls_score = head_fn(pooled, pos_sup.astype(hdt))
     if training:
-        _, _, neg_score = head_fn(pooled, neg_sup)
+        _, _, neg_score = head_fn(pooled, neg_sup.astype(hdt))
         out['rcnn_loss_bbox'] = smooth_l1_loss(
             bbox_pred.reshape(-1, 4).astype(jnp.float32),
             out['rois_target'].reshape(-1, 4),

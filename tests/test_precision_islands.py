@@ -135,3 +135,26 @@ def test_island_properties_resolve():
     assert c.attention_dt == jnp.bfloat16 and c.head_dt == jnp.bfloat16
     c = dataclasses.replace(c, head_dtype=jnp.float32)
     assert c.head_dt == jnp.float32 and c.attention_dt == jnp.bfloat16
+
+
+@pytest.mark.parametrize('name', ['fsod', 'meta', 'fgn', 'frcnn'])
+def test_sibling_framework_islands(name):
+    """Every framework honors the f32 head island under bf16 compute
+    (frameworks.trunk/_finish_episodic boundaries)."""
+    from dana_tpu.models import frameworks as fw
+    cfgd = dict(COMMON, compute_dtype=jnp.bfloat16,
+                head_dtype=jnp.float32)
+    config, params = fw.get_model(name, cfgd, seed=0)
+    rng = np.random.default_rng(13)
+    im = jnp.asarray(rng.normal(size=(1, 128, 160, 3)) * 30, jnp.float32)
+    info = jnp.array([[128.0, 160.0, 1.0]])
+    sup = jnp.asarray(rng.normal(size=(1, 2, 320, 320, 3)) * 30,
+                      jnp.float32)
+    if name == 'frcnn':
+        out = fw.frcnn_forward(params, config, im, info, training=False)
+    else:
+        out = fw.forward_fn(name)(params, config, im, info, sup,
+                                  training=False)
+    assert out['cls_prob'].dtype == jnp.float32
+    assert out['bbox_pred'].dtype == jnp.float32
+    assert np.isfinite(np.asarray(out['cls_prob'], np.float32)).all()
