@@ -100,3 +100,15 @@ def test_export_serving_cli(tmp_path):
     assert os.path.exists(os.path.join(out, 'meta.json'))
     assert os.path.exists(os.path.join(out, 'predict_64x96.shlo'))
     assert os.path.exists(os.path.join(out, 'encode_supports.shlo'))
+
+
+def test_host_prep_bench_runs(tmp_path, monkeypatch):
+    monkeypatch.setenv('DANA_SYNTH_ROOT', str(tmp_path / 'synth'))
+    from tools import host_prep_bench
+    rows = host_prep_bench.main(n=4)
+    assert len(rows) == 2
+    (nat, ev_n, tr_n), (raw, ev_np, tr_np) = rows
+    assert nat and not raw
+    assert ev_n > 0 and tr_n > 0 and ev_np > 0 and tr_np > 0
+    # the env A/B switch must be restored
+    assert 'DANA_NO_NATIVE' not in os.environ
