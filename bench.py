@@ -190,7 +190,9 @@ def main():
     # training throughput on the same chip (reference config shape:
     # 2-way 3-shot episodes, README.md:127), scan-staged like the
     # training CLI's --steps_per_call path
-    train_metrics = _bench_train(config, params, batch=4, steps=8)
+    train_metrics = _bench_train(
+        config, params,
+        batch=int(os.environ.get('BENCH_TRAIN_BATCH', '4')), steps=8)
 
     out = {
         'metric': 'dana_r50_2way3shot_query_imgs_per_sec_per_chip',

@@ -247,6 +247,10 @@ class ResamplingSupportPool:
         self.db = build_support_db(support_roidb, len(classes))
         self.seed = seed
         self._rng = np.random.default_rng(seed)
+        # decoded-crop FIFO cache, same rationale as FewShotLoader's
+        # (support_blob is deterministic in (roidb_idx, box))
+        self._cache = {}
+        self._cache_cap = int(cfg.TPU.SUPPORT_CACHE)
 
     def reseed(self, index):
         self._rng = np.random.default_rng((self.seed, int(index)))
@@ -262,11 +266,22 @@ class ResamplingSupportPool:
                                 replace=len(pool) < self.num_shot)
         blobs = []
         for i in pick:
-            entry = self.support_roidb[pool[int(i)]['roidb_idx']]
+            info = pool[int(i)]
+            key = (int(info['roidb_idx']),
+                   tuple(float(v) for v in info['box'][:4]))
+            hit = self._cache.get(key) if self._cache_cap else None
+            if hit is not None:
+                blobs.append(hit)
+                continue
+            entry = self.support_roidb[info['roidb_idx']]
             im = blob.imread_bgr(entry['image'])
-            blobs.append(blob.support_blob(im, pool[int(i)]['box'],
-                                           self.pixel_means,
-                                           self.support_size))
+            s = blob.support_blob(im, info['box'], self.pixel_means,
+                                  self.support_size)
+            if self._cache_cap:
+                if len(self._cache) >= self._cache_cap:
+                    self._cache.pop(next(iter(self._cache)))
+                self._cache[key] = s
+            blobs.append(s)
         return np.stack(blobs)
 
 
