@@ -123,3 +123,30 @@ def test_query_blob_packed_matches_two_step():
     np.testing.assert_array_equal(info3, info4)
     np.testing.assert_array_equal(
         p_u8, blob.s2d_pack(d_u8, u8_pad=blob.u8_pad_of(means)))
+
+
+def test_native_pad_s2d_randomized_shapes():
+    """Property test over random (src, canvas) shape pairs, both dtypes:
+    native fused pack == numpy pad-then-pack, including src clipping
+    (src larger than canvas) and near-boundary sizes."""
+    rng = np.random.default_rng(4)
+    for _ in range(25):
+        ch, cw = 2 * rng.integers(4, 40), 2 * rng.integers(4, 40)
+        h = int(rng.integers(1, ch + 8))
+        w = int(rng.integers(1, cw + 8))
+        for dtype in (np.float32, np.uint8):
+            im = (rng.random((h, w, 3)) * 255).astype(dtype)
+            clip = im[:ch, :cw]
+            if dtype == np.uint8:
+                canvas = np.empty((ch, cw, 3), np.uint8)
+                canvas[:] = blob.U8_PAD_MEANS
+                pad3 = blob.U8_PAD_MEANS
+            else:
+                canvas = np.zeros((ch, cw, 3), np.float32)
+                pad3 = None
+            canvas[:clip.shape[0], :clip.shape[1]] = clip
+            ref = _np_s2d(canvas[None])[0]
+            got = native.pad_s2d(im, (ch, cw), pad3)
+            np.testing.assert_array_equal(got, ref,
+                                          err_msg=f'{dtype} {h}x{w} '
+                                                  f'-> {ch}x{cw}')
