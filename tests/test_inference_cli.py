@@ -129,3 +129,25 @@ def test_inference_cli_tp_matches_single(tmp_path, monkeypatch):
     inference_cli.main(BASE_ARGS + ['--bs', '4', '--eval_dir', out2,
                                     '--tp', '2'])
     _assert_detections_match(out1, out2)
+
+
+def test_inference_cli_tp_int8_combo(tmp_path, monkeypatch):
+    """--tp 2 composes with the int8 PTQ serving path (int8 leaves are
+    replicated; only f32 'weight' leaves column-shard)."""
+    import jax
+    if len(jax.devices()) < 4:
+        pytest.skip('needs multi-device CPU platform')
+    monkeypatch.setenv('DANA_SYNTH_ROOT', str(tmp_path / 'synth'))
+
+    import inference as inference_cli
+    out = str(tmp_path / 'evalq')
+    cut = BASE_ARGS.index('--set')     # flags must precede the --set list
+    result = inference_cli.main(
+        BASE_ARGS[:cut] + ['--bs', '4', '--eval_dir', out, '--tp', '2']
+        + BASE_ARGS[cut:] + ['TPU.QUANT_INT8', 'True'])
+    assert result is not None
+    with open(osp.join(out, 'detections.pkl'), 'rb') as f:
+        boxes = pickle.load(f)
+    filled = sum(1 for c in boxes for d in c
+                 if isinstance(d, np.ndarray) and len(d))
+    assert filled > 0
