@@ -47,6 +47,27 @@ def u8_pad_of(pixel_means):
                    0, 255).astype(np.uint8)
 
 
+class FIFOCache:
+    """Tiny bounded FIFO map for decoded support crops (one eviction
+    policy shared by FewShotLoader, FinetuneLoader and
+    ResamplingSupportPool).  cap=0 disables caching entirely."""
+
+    def __init__(self, cap):
+        self.cap = int(cap)
+        self._d = {}
+
+    def get(self, key):
+        return self._d.get(key) if self.cap else None
+
+    def put(self, key, value):
+        if not self.cap:
+            return value
+        if len(self._d) >= self.cap:
+            self._d.pop(next(iter(self._d)))
+        self._d[key] = value
+        return value
+
+
 def query_scale(h, w, target_size, max_size=None) -> float:
     """The reference's effective query scale: shortest side -> target,
     long-side cap only if max_size is given (blob.py:40-46: the cap is
@@ -80,7 +101,11 @@ def prep_im_for_blob(im, pixel_means, target_size, max_size=None):
 
     Returns (image, scale). Parity: blob.py:35-52."""
     sub = _native.meansub(im, pixel_means)   # fused native pass, ~6x numpy
-    im = sub if sub is not None else im.astype(np.float32) - pixel_means
+    # f32 means keep the fallback BIT-IDENTICAL to the native kernel
+    # (cfg.PIXEL_MEANS is float64; the bare broadcast would promote the
+    # whole image to f64 and make DANA_NO_NATIVE A/B runs drift ~2e-5)
+    im = sub if sub is not None else \
+        im.astype(np.float32) - np.asarray(pixel_means, np.float32)
     h, w = im.shape[:2]
     scale = query_scale(h, w, target_size, max_size)
     im = cv2.resize(im, None, fx=scale, fy=scale,
@@ -219,7 +244,11 @@ def query_blob_packed(im, pixel_means, target_size=600, max_size=None,
     tests/test_native.py) but runs the canvas pad + pack as ONE native
     pass straight from the resized image — the padded 3-channel canvas
     never exists (~11 ms/img of numpy traffic on this host).  Falls back
-    to the two-step path when the native library is unavailable."""
+    to the two-step path when the native library is unavailable, and to
+    the UNPACKED 3-channel canvas when it can't be s2d-packed at all
+    (odd user-set bucket — s2d needs even dims); the model's stem
+    branches on the input channel count (resnet.stem_conv), so 3-channel
+    batches still run, just without the packed-stem win."""
     if ship_uint8:
         if flipped:
             im = im[:, ::-1, :]
@@ -237,6 +266,8 @@ def query_blob_packed(im, pixel_means, target_size=600, max_size=None,
             data, info = query_blob_u8(im, target_size, max_size,
                                        buckets=buckets,
                                        pixel_means=pixel_means)
+            if data.shape[0] % 2 or data.shape[1] % 2:  # odd custom bucket
+                return data, info
             return s2d_pack(data, u8_pad=pad3), info
         return packed, np.array([h, w, scale], np.float32)
     if flipped:
@@ -245,6 +276,8 @@ def query_blob_packed(im, pixel_means, target_size=600, max_size=None,
     if sub is None:                                     # no native lib
         data, info = query_blob(im, pixel_means, target_size, max_size,
                                 buckets=buckets)
+        if data.shape[0] % 2 or data.shape[1] % 2:      # odd custom bucket
+            return data, info
         return s2d_pack(data), info
     h, w = sub.shape[:2]
     scale = query_scale(h, w, target_size, max_size)
@@ -252,11 +285,13 @@ def query_blob_packed(im, pixel_means, target_size=600, max_size=None,
                      interpolation=cv2.INTER_LINEAR)
     h, w = sub.shape[:2]
     canvas = pick_bucket(h, w, buckets)
+    info = np.array([h, w, scale], np.float32)
     packed = _native.pad_s2d(sub, canvas)
-    if packed is None:                                  # odd custom canvas
-        return s2d_pack(pad_to_canvas(sub, canvas)), \
-            np.array([h, w, scale], np.float32)
-    return packed, np.array([h, w, scale], np.float32)
+    if packed is None:
+        if canvas[0] % 2 or canvas[1] % 2:              # odd custom bucket
+            return pad_to_canvas(sub, canvas), info
+        return s2d_pack(pad_to_canvas(sub, canvas)), info
+    return packed, info
 
 
 def support_blob(im, box, pixel_means, out_size=320):
@@ -264,7 +299,8 @@ def support_blob(im, box, pixel_means, out_size=320):
     [out_size, out_size, 3].  Parity: fs_loader.py:103-138 (crop includes
     the +1 end pixel; cv2 INTER_LINEAR; top-left padding)."""
     sub = _native.meansub(im, pixel_means)
-    im = sub if sub is not None else im.astype(np.float32) - pixel_means
+    im = sub if sub is not None else \
+        im.astype(np.float32) - np.asarray(pixel_means, np.float32)
     x1, y1, x2, y2 = [int(v) for v in box[:4]]
     crop = im[y1:y2 + 1, x1:x2 + 1, :]
     h, w = crop.shape[:2]

@@ -89,8 +89,7 @@ class FewShotLoader:
         # crops recur every few episodes — re-decoding them dominated
         # episode prep (~33 of 45 ms on a one-core host, PERF.md r3).
         # FIFO-bounded; cfg.TPU.SUPPORT_CACHE entries (0 disables).
-        self._sup_cache = {}
-        self._sup_cache_cap = int(cfg.TPU.SUPPORT_CACHE)
+        self._sup_cache = blob.FIFOCache(cfg.TPU.SUPPORT_CACHE)
 
     def _class_has_supports(self, cls: int) -> bool:
         return bool(self.support_db[cls])
@@ -117,18 +116,13 @@ class FewShotLoader:
     def _support_image(self, info, rng):
         key = (int(info['roidb_idx']),
                tuple(float(v) for v in info['box'][:4]))
-        hit = self._sup_cache.get(key) if self._sup_cache_cap else None
+        hit = self._sup_cache.get(key)
         if hit is not None:
             return hit
         entry = self.roidb[info['roidb_idx']]
         im = self._read(entry)
-        out = blob.support_blob(im, info['box'], self.pixel_means,
-                                self.support_size)
-        if self._sup_cache_cap:
-            if len(self._sup_cache) >= self._sup_cache_cap:
-                self._sup_cache.pop(next(iter(self._sup_cache)))
-            self._sup_cache[key] = out
-        return out
+        return self._sup_cache.put(key, blob.support_blob(
+            im, info['box'], self.pixel_means, self.support_size))
 
     def _sample_supports(self, cls, rng, replace_ok=True):
         pool = self.support_db[cls]
@@ -252,20 +246,15 @@ class FinetuneLoader(FewShotLoader):
         out = []
         for i in idx:
             path = files[int(i)]
-            hit = self._sup_cache.get(path) if self._sup_cache_cap \
-                else None
+            hit = self._sup_cache.get(path)
             if hit is not None:
                 out.append(hit)
                 continue
             im = blob.imread_bgr(path)
             h, w = im.shape[:2]
-            s = blob.support_blob(im, [0, 0, w - 1, h - 1],
-                                  self.pixel_means, self.support_size)
-            if self._sup_cache_cap:
-                if len(self._sup_cache) >= self._sup_cache_cap:
-                    self._sup_cache.pop(next(iter(self._sup_cache)))
-                self._sup_cache[path] = s
-            out.append(s)
+            out.append(self._sup_cache.put(path, blob.support_blob(
+                im, [0, 0, w - 1, h - 1], self.pixel_means,
+                self.support_size)))
         return out
 
 

@@ -89,7 +89,7 @@ class InferenceLoader:
 
     def __init__(self, roidb, pool: SupportPool, max_num_box=20,
                  buckets=None, scale=None, max_size=None,
-                 pixel_means=None, pack_s2d=False):
+                 pixel_means=None, pack_s2d=False, skip_supports=False):
         from dana_tpu.utils.config import cfg
         buckets = buckets or [tuple(b) for b in cfg.TPU.SIZE_BUCKETS]
         scale = scale or cfg.TEST.SCALES[0]
@@ -113,6 +113,11 @@ class InferenceLoader:
         # fused native pad+pack kernel — the 3-channel canvas never
         # materializes (inference.py sets this when cfg.TPU.STEM_S2D)
         self.pack_s2d = pack_s2d
+        # don't assemble per-item support stacks at all: cached-support
+        # models (DAnA/cisa) encode each class's supports ONCE and never
+        # read batch supports — copying shot x 320x320x3 f32 per image
+        # only to discard it wastes the one-core host
+        self.skip_supports = skip_supports
 
     def _query_blob(self, im, flipped=False):
         if self.pack_s2d:
@@ -151,12 +156,14 @@ class InferenceLoader:
         n = min(len(entry['boxes']), self.max_num_box)
         gt[:n, :4] = entry['boxes'][:n] * im_info[2]
         gt[:n, 4] = entry['gt_classes'][:n]
-        return {
+        item = {
             'im_data': im_data, 'im_info': im_info, 'gt_boxes': gt,
             'num_boxes': np.int32(n),
-            'support_ims': self.pool.get(cls),
             'target_cls': np.int32(cls), 'index': np.int32(index),
         }
+        if not self.skip_supports:
+            item['support_ims'] = self.pool.get(cls)
+        return item
 
 
 class GeneralTestLoader(InferenceLoader):
@@ -215,6 +222,9 @@ class MultiwayLoader(InferenceLoader):
     def __init__(self, roidb, pool, num_way=5, **kw):
         super().__init__(roidb, pool, **kw)
         self.num_way = num_way
+        # __getitem__ always replaces support_ims with the n-way stack;
+        # skip the parent's single-class assembly
+        self.skip_supports = True
 
     def __getitem__(self, index):
         item = super().__getitem__(index)
@@ -249,8 +259,7 @@ class ResamplingSupportPool:
         self._rng = np.random.default_rng(seed)
         # decoded-crop FIFO cache, same rationale as FewShotLoader's
         # (support_blob is deterministic in (roidb_idx, box))
-        self._cache = {}
-        self._cache_cap = int(cfg.TPU.SUPPORT_CACHE)
+        self._cache = blob.FIFOCache(cfg.TPU.SUPPORT_CACHE)
 
     def reseed(self, index):
         self._rng = np.random.default_rng((self.seed, int(index)))
@@ -269,19 +278,14 @@ class ResamplingSupportPool:
             info = pool[int(i)]
             key = (int(info['roidb_idx']),
                    tuple(float(v) for v in info['box'][:4]))
-            hit = self._cache.get(key) if self._cache_cap else None
+            hit = self._cache.get(key)
             if hit is not None:
                 blobs.append(hit)
                 continue
             entry = self.support_roidb[info['roidb_idx']]
             im = blob.imread_bgr(entry['image'])
-            s = blob.support_blob(im, info['box'], self.pixel_means,
-                                  self.support_size)
-            if self._cache_cap:
-                if len(self._cache) >= self._cache_cap:
-                    self._cache.pop(next(iter(self._cache)))
-                self._cache[key] = s
-            blobs.append(s)
+            blobs.append(self._cache.put(key, blob.support_blob(
+                im, info['box'], self.pixel_means, self.support_size)))
         return np.stack(blobs)
 
 

@@ -42,7 +42,11 @@ def make_mesh_2d(devices=None, data: int = 0, model: int = 0) -> Mesh:
         model = n // data if data else (2 if n % 2 == 0 and n >= 4 else 1)
     if not data:
         data = n // model
-    assert data * model == n, (data, model, n)
+    if data * model != n or data < 1:
+        raise ValueError(
+            f'mesh axes (data={data}, model={model}) do not tile the '
+            f'{n} available devices — the model/tp extent must divide '
+            f'the device count')
     return Mesh(np.array(devices).reshape(data, model), ('data', 'model'))
 
 

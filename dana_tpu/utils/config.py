@@ -162,7 +162,9 @@ def _default_cfg() -> AttrDict:
     # decoded-support FIFO cache entries in the episodic loaders (each
     # ~1.2 MB at 320^2 f32; support pools are small so crops recur every
     # few episodes — re-decoding dominated host prep).  0 disables.
-    c.TPU.SUPPORT_CACHE = 1024
+    # 256 bounds each loader's cache at ~300 MB: large pools (real COCO)
+    # have weak recurrence anyway, and small synth pools fit entirely.
+    c.TPU.SUPPORT_CACHE = 256
     # Query images are padded onto static (H, W) bucket canvases so each
     # bucket compiles exactly once (replaces per-batch dynamic padding).
     # Covers shortest-side-600 uncapped scaling up to aspect 2 (landscape,

@@ -108,17 +108,20 @@ def main(argv=None):
         sup_dir = None
     pool = SupportPool(imdb_.classes, args.shot, support_dir=sup_dir,
                        support_roidb=support_roidb, seed=0)
+    from dana_tpu.models import frameworks
+    model_name = 'DAnA' if args.net in ('res50', 'res101', 'vgg16') \
+        else args.net
+    use_sup_cache = model_name in ('DAnA', 'cisa')
+
     pack_s2d = bool(cfg.TPU.STEM_S2D) and args.backbone != 'vgg16'
     loader = InferenceLoader(roidb, pool,
                              max_num_box=cfg.MAX_NUM_GT_BOXES,
                              # queries arrive stem-packed [H',W',12] from
                              # the fused native pad+s2d kernel
-                             pack_s2d=pack_s2d)
-
-    from dana_tpu.models import frameworks
-    model_name = 'DAnA' if args.net in ('res50', 'res101', 'vgg16') \
-        else args.net
-    use_sup_cache = model_name in ('DAnA', 'cisa')
+                             pack_s2d=pack_s2d,
+                             # cached-support models never read per-item
+                             # support stacks — don't assemble them
+                             skip_supports=use_sup_cache)
 
     @jax.jit
     def encode_supports(params, sup):

@@ -173,3 +173,15 @@ def test_support_cache_exact(tmp_path, monkeypatch):
         a, b = warm[i], cold[i]
         for k in a:
             np.testing.assert_array_equal(a[k], b[k])
+
+
+def test_inference_loader_skip_supports(synth):
+    """Cached-support serving (DAnA/cisa) never reads per-item support
+    stacks — skip_supports must drop both the dict key and the decode
+    work (code-review r3: assemble discarded them after the copy)."""
+    imdb_, roidb = synth
+    pool = SupportPool(imdb_.classes, 2, support_roidb=roidb, seed=0)
+    loader = InferenceLoader(roidb, pool, skip_supports=True)
+    item = loader[0]
+    assert 'support_ims' not in item
+    assert 'im_data' in item and 'target_cls' in item

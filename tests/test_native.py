@@ -150,3 +150,52 @@ def test_native_pad_s2d_randomized_shapes():
             np.testing.assert_array_equal(got, ref,
                                           err_msg=f'{dtype} {h}x{w} '
                                                   f'-> {ch}x{cw}')
+
+
+def test_prep_fallback_matches_native_bitexact(monkeypatch):
+    """The numpy fallback must be BIT-identical to the native meansub:
+    cfg.PIXEL_MEANS is float64, and a bare `im - means` broadcast would
+    promote the whole image to f64 so cv2.resize runs in f64 — making
+    DANA_NO_NATIVE A/B runs drift vs the native arm (~2e-5 post-resize).
+    Both prep paths must subtract f32 means."""
+    rng = np.random.default_rng(7)
+    means = np.array([[[102.9801, 115.9465, 122.7717]]])   # f64, like cfg
+    im = (rng.random((90, 130, 3)) * 255).astype(np.float32)
+    a_im, a_sc = blob.prep_im_for_blob(im.copy(), means, 60)
+    a_sup = blob.support_blob(im.copy(), [10, 12, 100, 70], means, 64)
+    monkeypatch.setattr(blob._native, 'meansub', lambda *a, **k: None)
+    b_im, b_sc = blob.prep_im_for_blob(im.copy(), means, 60)
+    b_sup = blob.support_blob(im.copy(), [10, 12, 100, 70], means, 64)
+    assert a_sc == b_sc
+    np.testing.assert_array_equal(a_im, b_im)
+    np.testing.assert_array_equal(a_sup, b_sup)
+
+
+def test_query_blob_packed_odd_bucket_falls_back_to_3ch(monkeypatch):
+    """A user-set ODD canvas can't be s2d-packed (even dims required):
+    every arm of the packed pipeline must return the plain 3-channel
+    canvas (the model stem branches on channel count) instead of
+    tripping s2d_pack's evenness assert."""
+    rng = np.random.default_rng(11)
+    means = np.array([[[102.9801, 115.9465, 122.7717]]])
+    im = (rng.random((80, 120, 3)) * 255).astype(np.float32)
+    buckets = ((99, 149),)
+    for ship in (False, True):                       # native arms
+        data, info = blob.query_blob_packed(
+            im, means, target_size=60, buckets=buckets, ship_uint8=ship)
+        assert data.shape == (99, 149, 3), (ship, data.shape)
+    monkeypatch.setattr(blob._native, 'meansub', lambda *a, **k: None)
+    monkeypatch.setattr(blob._native, 'pad_s2d', lambda *a, **k: None)
+    for ship in (False, True):                       # numpy-fallback arms
+        data, info = blob.query_blob_packed(
+            im, means, target_size=60, buckets=buckets, ship_uint8=ship)
+        assert data.shape == (99, 149, 3), (ship, data.shape)
+
+
+def test_fifo_cache_bounds():
+    c = blob.FIFOCache(2)
+    c.put('a', 1), c.put('b', 2), c.put('c', 3)
+    assert c.get('a') is None                        # FIFO-evicted
+    assert c.get('b') == 2 and c.get('c') == 3
+    off = blob.FIFOCache(0)                          # cap 0 = disabled
+    assert off.put('a', 1) == 1 and off.get('a') is None

@@ -231,3 +231,23 @@ def test_quantized_params_replicate_and_forward():
         return o['cls_prob']
     out = np.asarray(fwd(qp, im, info, sup))
     assert np.isfinite(out).all()
+
+
+def test_make_mesh_2d_bad_extent_message():
+    """A tp extent that doesn't divide the device count must raise a
+    readable ValueError, not a bare assert tuple."""
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip('needs the 8-device virtual mesh')
+    with pytest.raises(ValueError, match='divide the device count'):
+        train.make_mesh_2d(devs[:8], model=3)
+
+
+def test_dtype_knob_rejects_typos():
+    """TPU.*_DTYPE typos must not silently run in f32."""
+    from utils import _dt_or_none
+    assert _dt_or_none('') is None
+    assert _dt_or_none('bf16') == jnp.bfloat16
+    assert _dt_or_none('bfloat16') == jnp.bfloat16
+    with pytest.raises(ValueError, match='bfloat'):
+        _dt_or_none('bfloat')

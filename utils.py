@@ -156,11 +156,18 @@ def load_cfg(args):
 
 
 def _dt_or_none(name):
-    """'' -> None (follow compute_dtype); else the jnp dtype."""
+    """'' -> None (follow compute_dtype); else the jnp dtype.  Rejects
+    unknown strings loudly — a typo'd precision knob must not silently
+    run in f32."""
     if not name:
         return None
     import jax.numpy as jnp
-    return jnp.bfloat16 if name == 'bfloat16' else jnp.float32
+    table = {'bfloat16': jnp.bfloat16, 'bf16': jnp.bfloat16,
+             'float32': jnp.float32, 'f32': jnp.float32}
+    if name not in table:
+        raise ValueError(f'unknown dtype {name!r} for a TPU.*_DTYPE '
+                         f'setting (use one of {sorted(table)})')
+    return table[name]
 
 
 def model_config_kwargs(way, shot, arch='resnet50'):
@@ -193,8 +200,7 @@ def model_config_kwargs(way, shot, arch='resnet50'):
         roi_align_int8=bool(cfg.TPU.QUANT_INT8),
         # bf16 MXU compute with f32 masters (cfg.TPU.COMPUTE_DTYPE;
         # 'float32' restores full-precision numerics for parity runs)
-        compute_dtype=jnp.bfloat16
-        if cfg.TPU.COMPUTE_DTYPE == 'bfloat16' else jnp.float32,
+        compute_dtype=_dt_or_none(cfg.TPU.COMPUTE_DTYPE) or jnp.float32,
         # optional f32 islands under bf16 compute (PERF.md "bf16
         # compute and AP")
         attention_dtype=_dt_or_none(cfg.TPU.ATTENTION_DTYPE),
