@@ -1,0 +1,436 @@
+"""Direct numerical A/B against the REFERENCE'S OWN torch modules.
+
+Unlike the golden-value tests (fixed tables) and the torch-replica tests
+(our own re-implementation of the torch model), these import the actual
+code at /root/reference/lib and compare outputs on the same random
+inputs — the strongest parity evidence that runs without CUDA:
+
+  * bbox_transform / bbox_transform_inv / clip_boxes / bbox_overlaps
+    (+batch crowd masking)    <-> core.boxes       (bbox_transform.py)
+  * generate_anchors          <-> core.anchors     (generate_anchors.py)
+  * net_utils._smooth_l1_loss <-> models.losses    (net_utils.py:71-85)
+  * _ProposalLayer.forward    <-> models.rpn.proposal_layer
+                                                   (proposal_layer.py:49-190)
+
+The reference's compiled `model._C` extension (CUDA NMS) and its absent
+deps (easydict, torchvision) are stubbed with minimal fakes; the NMS
+fake is an independent numpy transcription of csrc/cpu/nms_cpu.cpp:6-75
+(+1 areas, `ovr >= thresh` suppression, input-order keep) — NOT our own
+NMS, so the proposal A/B stays a genuine cross-implementation check.
+"""
+
+import os.path as osp
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REF_LIB = '/root/reference/lib'
+
+
+def _greedy_nms_ref(dets, scores, thresh):
+    """Transcription of nms_cpu_kernel (csrc/cpu/nms_cpu.cpp:6-66)."""
+    x1, y1, x2, y2 = dets[:, 0], dets[:, 1], dets[:, 2], dets[:, 3]
+    areas = (x2 - x1 + 1) * (y2 - y1 + 1)
+    order = np.argsort(-scores, kind='stable')
+    suppressed = np.zeros(len(dets), bool)
+    for _i, i in enumerate(order):
+        if suppressed[i]:
+            continue
+        for j in order[_i + 1:]:
+            if suppressed[j]:
+                continue
+            w = max(0.0, min(x2[i], x2[j]) - max(x1[i], x1[j]) + 1)
+            h = max(0.0, min(y2[i], y2[j]) - max(y1[i], y1[j]) + 1)
+            inter = w * h
+            if inter / (areas[i] + areas[j] - inter) >= thresh:
+                suppressed[j] = True
+    return np.nonzero(~suppressed)[0]      # input order, like nms_cpu
+
+
+def _roi_align_ref(feat, rois, scale, ph, pw, sampling_ratio):
+    """Transcription of RoIAlignForward (csrc/cuda/ROIAlign_cuda.cu:64-
+    124): no coordinate rounding, malformed RoIs forced 1x1, adaptive
+    ceil sampling grid when sampling_ratio==0, boundary rules of
+    bilinear_interpolate (cu:15-61).  NOT our ops/roi_align.py — keeps
+    the full-forward A/B a genuine cross-implementation check."""
+    n, c, height, width = feat.shape
+    r = rois.shape[0]
+    out = np.zeros((r, c, ph, pw), np.float32)
+
+    def bilinear(data, y, x):                   # data [C, H, W]
+        if y < -1.0 or y > height or x < -1.0 or x > width:
+            return np.zeros(c, np.float32)
+        y, x = max(y, 0.0), max(x, 0.0)
+        y_lo, x_lo = int(y), int(x)
+        if y_lo >= height - 1:
+            y_hi = y_lo = height - 1
+            y = float(y_lo)
+        else:
+            y_hi = y_lo + 1
+        if x_lo >= width - 1:
+            x_hi = x_lo = width - 1
+            x = float(x_lo)
+        else:
+            x_hi = x_lo + 1
+        ly, lx = y - y_lo, x - x_lo
+        hy, hx = 1.0 - ly, 1.0 - lx
+        return (hy * hx * data[:, y_lo, x_lo] +
+                hy * lx * data[:, y_lo, x_hi] +
+                ly * hx * data[:, y_hi, x_lo] +
+                ly * lx * data[:, y_hi, x_hi]).astype(np.float32)
+
+    for ri in range(r):
+        b = int(rois[ri, 0])
+        x1, y1, x2, y2 = (rois[ri, 1:] * scale).astype(np.float64)
+        rw, rh = max(x2 - x1, 1.0), max(y2 - y1, 1.0)
+        bin_h, bin_w = rh / ph, rw / pw
+        gh = sampling_ratio if sampling_ratio > 0 else int(np.ceil(rh / ph))
+        gw = sampling_ratio if sampling_ratio > 0 else int(np.ceil(rw / pw))
+        for py in range(ph):
+            for px in range(pw):
+                acc = np.zeros(c, np.float32)
+                for iy in range(gh):
+                    y = y1 + py * bin_h + (iy + .5) * bin_h / gh
+                    for ix in range(gw):
+                        x = x1 + px * bin_w + (ix + .5) * bin_w / gw
+                        acc += bilinear(feat[b], y, x)
+                out[ri, :, py, px] = acc / (gh * gw)
+    return out
+
+
+@pytest.fixture(scope='module')
+def ref():
+    """Import the reference lib with its missing deps stubbed."""
+    if not osp.isdir(REF_LIB):
+        pytest.skip('reference repo not mounted')
+    import torch
+
+    if 'easydict' not in sys.modules:
+        ed = types.ModuleType('easydict')
+
+        class EasyDict(dict):
+            def __getattr__(self, k):
+                try:
+                    return self[k]
+                except KeyError:
+                    raise AttributeError(k)
+            __setattr__ = dict.__setitem__
+            __delattr__ = dict.__delitem__
+
+        ed.EasyDict = EasyDict
+        sys.modules['easydict'] = ed
+
+    if 'torchvision' not in sys.modules:       # net_utils imports .models
+        tv = types.ModuleType('torchvision')
+        tv.models = types.ModuleType('torchvision.models')
+        sys.modules['torchvision'] = tv
+        sys.modules['torchvision.models'] = tv.models
+
+    if REF_LIB not in sys.path:
+        sys.path.append(REF_LIB)
+
+    fake_c = types.ModuleType('model._C')
+
+    def _nms(dets, scores, thresh):
+        keep = _greedy_nms_ref(dets.detach().numpy(),
+                               scores.detach().numpy(), float(thresh))
+        return torch.from_numpy(keep)
+
+    fake_c.nms = _nms
+
+    def _roi_align_fwd(feat, rois, scale, ph, pw, sampling_ratio):
+        out = _roi_align_ref(feat.detach().numpy(), rois.detach().numpy(),
+                             float(scale), int(ph), int(pw),
+                             int(sampling_ratio))
+        return torch.from_numpy(out)
+
+    fake_c.roi_align_forward = _roi_align_fwd
+    sys.modules.setdefault('model._C', fake_c)
+    import model
+    model._C = fake_c
+
+    ns = types.SimpleNamespace(torch=torch)
+    from model.rpn import bbox_transform as bt
+    from model.rpn import generate_anchors as ga
+    from model.rpn import proposal_layer as pl
+    from model.utils import net_utils as nu
+    from model.utils.config import cfg as ref_cfg
+    ns.bt, ns.ga, ns.pl, ns.nu, ns.cfg = bt, ga, pl, nu, ref_cfg
+    return ns
+
+
+def _rand_boxes(rng, *lead, lo=0, hi=180):
+    xy = rng.uniform(lo, hi, (*lead, 2)).astype(np.float32)
+    wh = rng.uniform(2, 60, (*lead, 2)).astype(np.float32)
+    return np.concatenate([xy, xy + wh], axis=-1)
+
+
+def test_box_math_matches_reference(ref):
+    import torch
+
+    from dana_tpu.core import boxes as our
+    rng = np.random.default_rng(0)
+    ex = _rand_boxes(rng, 64)
+    gt = _rand_boxes(rng, 64)
+
+    # encode: bbox_transform (bbox_transform.py:15)
+    want = ref.bt.bbox_transform(torch.from_numpy(ex),
+                                 torch.from_numpy(gt)).numpy()
+    got = np.asarray(our.encode_boxes(ex, gt))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    # batched encode: bbox_transform_batch, broadcast anchors (2D arm)
+    gtb = _rand_boxes(rng, 3, 64)
+    want = ref.bt.bbox_transform_batch(torch.from_numpy(ex),
+                                       torch.from_numpy(gtb)).numpy()
+    got = np.asarray(our.encode_boxes(ex[None], gtb))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    # decode: bbox_transform_inv (bbox_transform.py:77), 4k columns
+    deltas = rng.normal(0, 0.4, (3, 64, 8)).astype(np.float32)
+    bxs = _rand_boxes(rng, 3, 64)
+    want = ref.bt.bbox_transform_inv(torch.from_numpy(bxs),
+                                     torch.from_numpy(deltas), 3).numpy()
+    got = np.asarray(our.decode_boxes(bxs, deltas))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+
+    # clip: clip_boxes (bbox_transform.py:125)
+    im_info = np.array([[120, 160, 1.0], [90, 200, 1.0], [60, 60, 1.0]],
+                       np.float32)
+    want = ref.bt.clip_boxes(torch.from_numpy(got.copy()),
+                             torch.from_numpy(im_info), 3).numpy()
+    got2 = np.asarray(our.clip_boxes(got, im_info[:, None, :2]))
+    np.testing.assert_allclose(got2, want, rtol=1e-6, atol=1e-5)
+
+    # pairwise IoU: bbox_overlaps (bbox_transform.py:136)
+    a, b = _rand_boxes(rng, 40), _rand_boxes(rng, 17)
+    want = ref.bt.bbox_overlaps(torch.from_numpy(a),
+                                torch.from_numpy(b)).numpy()
+    got = np.asarray(our.iou_matrix(a, b))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_overlaps_batch_crowd_masking_matches_reference(ref):
+    """bbox_overlaps_batch with zero-area (padded/crowd) boxes: gt-zero
+    cells -> 0, anchor-zero cells -> -1 (bbox_transform.py:212-213,
+    252-253)."""
+    import torch
+
+    from dana_tpu.core import boxes as our
+    rng = np.random.default_rng(1)
+    anchors = _rand_boxes(rng, 30)
+    anchors[5] = [10, 10, 10, 10]            # zero-area anchor
+    gtb = np.zeros((2, 9, 5), np.float32)
+    gtb[:, :, :4] = _rand_boxes(rng, 2, 9)
+    gtb[:, 7:, :] = 0.0                      # padded gt slots
+    want = ref.bt.bbox_overlaps_batch(torch.from_numpy(anchors),
+                                      torch.from_numpy(gtb)).numpy()
+    got = np.asarray(our.iou_matrix_masked(
+        np.broadcast_to(anchors, (2, 30, 4)), gtb))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_generate_anchors_matches_reference(ref):
+    from dana_tpu.core import anchors as our
+    for scales, ratios, base in (
+            ((8, 16, 32), (0.5, 1, 2), 16),
+            ((4, 8, 16, 32), (0.5, 1, 2), 16),
+            ((2, 11), (0.25, 1, 3.3), 8)):
+        want = ref.ga.generate_anchors(base_size=base,
+                                       ratios=np.array(ratios),
+                                       scales=np.array(scales))
+        got = our.generate_anchors(base_size=base, ratios=ratios,
+                                   scales=np.array(scales))
+        np.testing.assert_array_equal(got, want)
+
+
+def test_smooth_l1_matches_reference(ref):
+    import torch
+
+    from dana_tpu.models.losses import smooth_l1_loss
+    rng = np.random.default_rng(2)
+    pred = rng.normal(0, 1, (4, 32, 4)).astype(np.float32)
+    tgt = rng.normal(0, 1, (4, 32, 4)).astype(np.float32)
+    iw = (rng.random((4, 32, 4)) < 0.6).astype(np.float32)
+    ow = rng.random((4, 32, 4)).astype(np.float32)
+    for sigma, dims in ((1.0, [1, 2]), (3.0, [1, 2])):
+        want = ref.nu._smooth_l1_loss(
+            torch.from_numpy(pred), torch.from_numpy(tgt),
+            torch.from_numpy(iw), torch.from_numpy(ow),
+            sigma=sigma, dim=dims).item()
+        got = float(smooth_l1_loss(pred, tgt, iw, ow, sigma=sigma,
+                                   reduce_dims=tuple(dims)))
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_dana_full_forward_matches_reference(ref, monkeypatch):
+    """FULL eval forward A/B on the reference's own _DAnARCNN
+    (dana.py:87-220): identical weights, identical inputs, backbone
+    stubbed to identity on BOTH sides so the comparison covers
+    everything the frameworks own — RPN CISA attention (+PE, unary),
+    concat correlation, RPN heads, proposal selection, RoIAlign
+    pooling (reference side runs the ROIAlign_cuda.cu transcription
+    above), per-RoI CISA attention, transform + FFN scores, and the
+    bbox branch.  Strongest single parity artifact in the suite."""
+    import torch
+    from torch import nn
+
+    from dana_tpu.models import dana
+    from dana_tpu.utils.torch_import import convert_dana_state_dict
+
+    b, fh, fw, c, shot, post = 2, 14, 19, 1024, 2, 50
+
+    # --- reference module (identity backbone, mean tail) -------------
+    ref.cfg.POOLING_SIZE = 7
+    ref.cfg.POOLING_MODE = 'align'
+    ref.cfg.ANCHOR_SCALES = [8, 16, 32]
+    ref.cfg.ANCHOR_RATIOS = [0.5, 1, 2]
+    ref.cfg.FEAT_STRIDE = [16]
+    ref.cfg.TEST.RPN_PRE_NMS_TOP_N = 300
+    ref.cfg.TEST.RPN_POST_NMS_TOP_N = post
+    ref.cfg.TEST.RPN_NMS_THRESH = 0.7
+    from model.framework import dana as ref_dana
+
+    torch.manual_seed(11)
+
+    class TestDana(ref_dana._DAnARCNN):
+        def __init__(self):
+            super().__init__(['fg', 'bg'], 'concat', 256, 256, 0.1,
+                             False, n_way=2, n_shot=shot,
+                             pos_encoding=True)
+            self.RCNN_base = nn.Identity()
+            self.RCNN_bbox_pred = nn.Linear(c, 4)
+
+        def _head_to_tail(self, pool5):
+            return pool5.mean(3).mean(2)
+
+    tm = TestDana()
+    with torch.no_grad():                 # sharpen the std-0.01 inits so
+        for name, p in tm.named_parameters():   # softmaxes aren't flat
+            if 'adapt' in name or 'unary' in name:
+                p.mul_(10.0)
+            elif name == 'RCNN_rpn.RPN_cls_score.weight':
+                # x2 spreads objectness WITHOUT saturating the softmax:
+                # saturated probs tie at f32 1.0 and the top-k/NMS
+                # tie-breaking cascade is arbitrary; large scales on
+                # RPN_bbox_pred similarly decode degenerate clipped
+                # boxes.  At x2 the top-300 boundary gap is ~1e-4 >>
+                # the ~1e-5 cross-implementation float noise.
+                p.mul_(2.0)
+    tm.eval()
+
+    rng = np.random.default_rng(5)
+    im = rng.normal(0, 0.5, (b, fh, fw, c)).astype(np.float32)
+    sup = rng.normal(0, 0.5, (b, shot, 20, 20, c)).astype(np.float32)
+    im_info = np.array([[fh * 16, fw * 16, 1.0],
+                        [fh * 16 - 40, fw * 16 - 64, 1.0]], np.float32)
+
+    with torch.no_grad():
+        want = tm(torch.from_numpy(
+                      np.ascontiguousarray(im.transpose(0, 3, 1, 2))),
+                  torch.from_numpy(im_info),
+                  torch.zeros(b, 20, 5), torch.zeros(b),
+                  torch.from_numpy(
+                      np.ascontiguousarray(sup.transpose(0, 1, 4, 2, 3))))
+    w_rois, w_prob, w_bbox = (t.numpy() for t in want[:3])
+
+    # --- our forward on the converted weights -------------------------
+    params = convert_dana_state_dict(
+        {k: v.detach().numpy() for k, v in tm.state_dict().items()})
+    params['backbone'] = {}
+    monkeypatch.setattr(dana, 'backbone_base', lambda p, cfg_, x: x)
+    monkeypatch.setattr(dana, 'backbone_tail',
+                        lambda p, cfg_, pooled: pooled.mean(axis=(1, 2)))
+    from dana_tpu.models import layers as L
+    sup_pooled = np.asarray(L.avg_pool(
+        sup.reshape(b * shot, 20, 20, c), window=14,
+        stride=1)).reshape(b, shot, 7, 7, c)
+
+    config = dana.DanaConfig(
+        n_way=2, n_shot=shot, anchor_scales=(8, 16, 32),
+        test_pre_nms=300, test_post_nms=post, nms_cap=300,
+        use_pallas_attention=False)
+    out = dana.forward(params, config, im, im_info,
+                       support_feats=(sup, sup_pooled))
+    g_rois = np.asarray(out['rois'])
+
+    np.testing.assert_allclose(g_rois, w_rois, rtol=1e-4, atol=5e-3)
+
+    # Head path on IDENTICAL rois (the reference's): the rest of the
+    # pipeline — RoIAlign pooling, per-RoI CISA attention, transform +
+    # FFN scores, bbox branch — compared tie-cascade-free.
+    import jax.numpy as jnp
+
+    from dana_tpu.models import rpn as rpn_lib
+    w_rois_j = jnp.asarray(w_rois)
+    w_mask = jnp.asarray((np.abs(w_rois[..., 1:]).sum(-1) > 0))
+    monkeypatch.setattr(
+        rpn_lib, 'proposal_layer',
+        lambda *a, **k: (w_rois_j, jnp.zeros(w_rois.shape[:2]), w_mask))
+    out = dana.forward(params, config, im, im_info,
+                       support_feats=(sup, sup_pooled))
+    g_prob = np.asarray(out['cls_prob']).reshape(b * post, 2)
+    g_bbox = np.asarray(out['bbox_pred']).reshape(b * post, 4)
+    np.testing.assert_allclose(g_prob, w_prob, rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(g_bbox, w_bbox, rtol=1e-3, atol=1e-4)
+    # the attention actually attended (not a flat-softmax vacuous pass)
+    assert float(np.abs(g_prob[:, 1] - g_prob[0, 1]).max()) > 0.01
+
+
+def test_proposal_layer_matches_reference(ref):
+    """End-to-end proposal selection (decode + clip + top-k + NMS + pad)
+    on identical random RPN outputs: our batched static-shape formulation
+    == the reference's per-image host loop (proposal_layer.py:135-190)."""
+    import torch
+
+    from dana_tpu.core.anchors import generate_anchors, shifted_anchors
+    from dana_tpu.models.rpn import proposal_layer
+
+    b, fh, fw, stride = 2, 12, 17, 16
+    scales, ratios = (8, 16, 32), (0.5, 1, 2)
+    a = len(scales) * len(ratios)
+    pre, post, thresh = 600, 40, 0.7
+
+    rng = np.random.default_rng(3)
+    scores = rng.random((b, fh, fw, a)).astype(np.float32)
+    deltas = rng.normal(0, 0.3, (b, fh, fw, a, 4)).astype(np.float32)
+    im_info = np.array([[fh * stride, fw * stride, 1.0],
+                        [fh * stride - 30, fw * stride - 50, 1.0]],
+                       np.float32)
+
+    # reference tensors: scores [B, 2A, H, W] (fg half), deltas [B, 4A, H, W]
+    scores_t = np.zeros((b, 2 * a, fh, fw), np.float32)
+    scores_t[:, a:] = scores.transpose(0, 3, 1, 2)
+    deltas_t = deltas.reshape(b, fh, fw, 4 * a).transpose(0, 3, 1, 2)
+
+    ref.cfg.TEST.RPN_PRE_NMS_TOP_N = pre
+    ref.cfg.TEST.RPN_POST_NMS_TOP_N = post
+    ref.cfg.TEST.RPN_NMS_THRESH = thresh
+    layer = ref.pl._ProposalLayer(stride, list(scales), list(ratios))
+    with torch.no_grad():
+        want = layer((torch.from_numpy(scores_t),
+                      torch.from_numpy(deltas_t),
+                      torch.from_numpy(im_info), 'TEST')).numpy()
+
+    anchors = shifted_anchors(fh, fw, stride,
+                              generate_anchors(scales=np.array(scales),
+                                               ratios=ratios))
+    rois, _, mask = proposal_layer(
+        scores.reshape(b, -1), deltas.reshape(b, -1, 4), anchors,
+        im_info, pre_nms_top_n=pre, post_nms_top_n=post,
+        nms_thresh=thresh, nms_cap=pre)
+    rois, mask = np.asarray(rois), np.asarray(mask)
+
+    # same per-image keep count (reference pads the rest with zeros)
+    want_n = [(np.abs(want[i, :, 1:]).sum(-1) > 0).sum() for i in range(b)]
+    got_n = mask.sum(1)
+    np.testing.assert_array_equal(got_n, want_n)
+    for i in range(b):
+        n = got_n[i]
+        np.testing.assert_allclose(rois[i, :n], want[i, :n],
+                                   rtol=1e-4, atol=5e-3,
+                                   err_msg=f'image {i}')
+        assert (rois[i, n:, 1:] == 0).all() and (want[i, n:, 1:] == 0).all()
+        assert (rois[i, :, 0] == i).all() and (want[i, :, 0] == i).all()
