@@ -52,10 +52,24 @@ def load_state_dict(path: str, allow_pickle: bool = False):
     return state, extra
 
 
+# FGN's RCNN_cls_score consumes a FLATTENED conv feature map
+# (fgn.py:165: cls_feat.view(n, -1) on [n, 128, 3, 3]; Linear(1152, 2)
+# at fgn.py:218).  torch flattens NCHW (c, h, w); our head flattens the
+# NHWC map (h, w, c) — the linear's input dim must be permuted or an
+# imported .pth silently mis-maps all 1152 inputs (caught by
+# tests/test_reference_ab.py::test_fgn_full_forward_matches_reference).
+_FGN_CLS_IN = (128, 3, 3)
+
+
 def _convert_leaf(name: str, v: np.ndarray) -> np.ndarray:
     if v.ndim == 4:                      # conv OIHW -> HWIO
         return np.ascontiguousarray(v.transpose(2, 3, 1, 0)).astype(np.float32)
     if v.ndim == 2 and name.endswith('weight'):   # linear [out,in] -> [in,out]
+        if name == 'RCNN_cls_score.weight' and \
+                v.shape[1] == int(np.prod(_FGN_CLS_IN)):
+            c, h, w = _FGN_CLS_IN        # (c,h,w) flat -> (h,w,c) flat
+            v = v.reshape(-1, c, h, w).transpose(0, 2, 3, 1) \
+                 .reshape(v.shape[0], -1)
         return np.ascontiguousarray(v.T).astype(np.float32)
     return v.astype(np.float32) if v.dtype.kind == 'f' else v
 
@@ -117,6 +131,12 @@ def export_dana_state_dict(params: dict) -> dict:
             v = np.ascontiguousarray(v.transpose(3, 2, 0, 1))
         elif v.ndim == 2 and mapped.endswith('weight'):
             v = np.ascontiguousarray(v.T)    # linear [in,out] -> [out,in]
+            if mapped == 'RCNN_cls_score.weight' and \
+                    v.shape[1] == int(np.prod(_FGN_CLS_IN)):
+                c, h, w = _FGN_CLS_IN        # (h,w,c) flat -> (c,h,w) flat
+                v = np.ascontiguousarray(
+                    v.reshape(-1, h, w, c).transpose(0, 3, 1, 2)
+                     .reshape(v.shape[0], -1))
         out[mapped] = v
         if mapped.endswith('running_var'):
             out[mapped[:-len('running_var')] + 'num_batches_tracked'] = \

@@ -379,6 +379,255 @@ def test_dana_full_forward_matches_reference(ref, monkeypatch):
     assert float(np.abs(g_prob[:, 1] - g_prob[0, 1]).max()) > 0.01
 
 
+def _set_ref_eval_cfg(ref, post):
+    ref.cfg.POOLING_SIZE = 7
+    ref.cfg.POOLING_MODE = 'align'
+    ref.cfg.ANCHOR_SCALES = [8, 16, 32]
+    ref.cfg.ANCHOR_RATIOS = [0.5, 1, 2]
+    ref.cfg.FEAT_STRIDE = [16]
+    ref.cfg.TEST.RPN_PRE_NMS_TOP_N = 300
+    ref.cfg.TEST.RPN_POST_NMS_TOP_N = post
+    ref.cfg.TEST.RPN_NMS_THRESH = 0.7
+
+
+def _identity_io(seed, b, fh, fw, shot, c=1024):
+    """Shared random 'feature-map images' + supports for the identity-
+    backbone full-forward A/Bs, plus their NCHW torch views."""
+    import torch
+    rng = np.random.default_rng(seed)
+    im = rng.normal(0, 0.5, (b, fh, fw, c)).astype(np.float32)
+    sup = rng.normal(0, 0.5, (b, shot, 20, 20, c)).astype(np.float32)
+    im_info = np.array([[fh * 16, fw * 16, 1.0],
+                        [fh * 16 - 40, fw * 16 - 64, 1.0]], np.float32)[:b]
+    im_t = torch.from_numpy(np.ascontiguousarray(im.transpose(0, 3, 1, 2)))
+    sup_t = torch.from_numpy(
+        np.ascontiguousarray(sup.transpose(0, 1, 4, 2, 3)))
+    return im, sup, im_info, im_t, sup_t
+
+
+def _patch_ours_identity(monkeypatch):
+    """Identity backbone for the frameworks module (fsod/meta/fgn use
+    resnet.base_forward/top_forward directly)."""
+    import jax.numpy as jnp
+
+    from dana_tpu.models import frameworks, resnet
+    monkeypatch.setattr(resnet, 'base_forward',
+                        lambda x, p, arch=None: x.astype(jnp.float32))
+    monkeypatch.setattr(resnet, 'top_forward', lambda x, p, arch=None: x)
+    # bypasses the >=224px support-size contract (we feed 20x20 "feats")
+    monkeypatch.setattr(frameworks, '_backbone_supports',
+                        lambda p, c, s, t: jnp.asarray(s, jnp.float32))
+
+
+def _inject_ref_rois(monkeypatch, w_rois):
+    """Replace our proposal layer's output with the reference's rois so
+    the head path is compared on identical boxes (tie-cascade-free)."""
+    import jax.numpy as jnp
+
+    from dana_tpu.models import rpn as rpn_lib
+    w_rois_j = jnp.asarray(w_rois)
+    w_mask = jnp.asarray(np.abs(w_rois[..., 1:]).sum(-1) > 0)
+    monkeypatch.setattr(
+        rpn_lib, 'proposal_layer',
+        lambda *a, **k: (w_rois_j, jnp.zeros(w_rois.shape[:2]), w_mask))
+
+
+def _convert(tm):
+    from dana_tpu.utils.torch_import import convert_dana_state_dict
+    params = convert_dana_state_dict(
+        {k: v.detach().numpy() for k, v in tm.state_dict().items()})
+    params['backbone'] = {}
+    return params
+
+
+def _eval_config(shot, post, **kw):
+    from dana_tpu.models.dana import DanaConfig
+    return DanaConfig(n_way=2, n_shot=shot, anchor_scales=(8, 16, 32),
+                      test_pre_nms=300, test_post_nms=post, nms_cap=300,
+                      use_pallas_attention=False, **kw)
+
+
+def _assert_forward_match(out, want, b, post, min_spread=0.003):
+    g_prob = np.asarray(out['cls_prob']).reshape(b * post, 2)
+    g_bbox = np.asarray(out['bbox_pred']).reshape(b * post, 4)
+    w_prob, w_bbox = want[1].numpy(), want[2].numpy()
+    np.testing.assert_allclose(g_prob, w_prob, rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(g_bbox, w_bbox, rtol=1e-3, atol=1e-4)
+    assert float(np.abs(g_prob[:, 1] - g_prob[0, 1]).max()) > min_spread
+
+
+def test_fsod_full_forward_matches_reference(ref, monkeypatch):
+    """Full FSOD eval forward A/B (fsod.py:79-259) with identity
+    backbones: shot-mean support kernels, depthwise query-support
+    correlation before the RPN (VALID conv shrinks the grid by 6),
+    proposal selection, RoIAlign, and the three-relation head
+    (global concat-FC, local depthwise correlation, patch conv stack,
+    scores summed / soft_gamma=10)."""
+    import torch
+    from torch import nn
+
+    from dana_tpu.models import frameworks
+
+    b, fh, fw, shot, post = 2, 14, 19, 2, 50
+    _set_ref_eval_cfg(ref, post)
+    from model.framework import fsod as ref_fsod
+
+    torch.manual_seed(3)
+
+    class TestFSOD(ref_fsod._fsodRCNN):
+        dout_base_model = 1024
+
+        def __init__(self):
+            super().__init__(['fg', 'bg'], n_way=2, n_shot=shot,
+                             g=True, l=True, p=True)
+            self.RCNN_base = nn.Identity()
+            self.RCNN_bbox_pred = nn.Linear(1024, 4)
+
+        def _head_to_tail(self, pool5):
+            return pool5.mean(3).mean(2)
+
+    tm = TestFSOD()
+    with torch.no_grad():
+        tm.RCNN_rpn.RPN_cls_score.weight.mul_(8.0)
+        for lay in (tm.global_cls_score, tm.corr_cls_score,
+                    tm.patch_cls_score):
+            lay.weight.mul_(20.0)
+    tm.eval()
+
+    im, sup, im_info, im_t, sup_t = _identity_io(7, b, fh, fw, shot)
+    with torch.no_grad():
+        want = tm(im_t, torch.from_numpy(im_info), torch.zeros(b, 20, 5),
+                  torch.zeros(b), sup_t)
+
+    params = _convert(tm)
+    _patch_ours_identity(monkeypatch)
+    config = _eval_config(shot, post)
+    out = frameworks.fsod_forward(params, config, im, im_info, sup)
+    np.testing.assert_allclose(np.asarray(out['rois']), want[0].numpy(),
+                               rtol=1e-4, atol=5e-3)
+    _inject_ref_rois(monkeypatch, want[0].numpy())
+    out = frameworks.fsod_forward(params, config, im, im_info, sup)
+    _assert_forward_match(out, want, b, post)
+
+
+def test_meta_full_forward_matches_reference(ref, monkeypatch):
+    """Full Meta R-CNN eval forward A/B (meta.py:39-143, 242-251):
+    PRN sigmoid attention vectors (maxpool2 + tail + sigmoid), plain
+    RPN on base features, channel-reweighted tail classification."""
+    import torch
+    from torch import nn
+
+    from dana_tpu.models import frameworks
+
+    b, fh, fw, shot, post = 2, 14, 19, 2, 50
+    _set_ref_eval_cfg(ref, post)
+    from model.framework import meta as ref_meta
+
+    torch.manual_seed(4)
+
+    # METARCNN (not _metaRCNN): prn_network/_head_to_tail live on the
+    # subclass (meta.py:238-251); _init_modules (the resnet load) is
+    # never called
+    class TestMeta(ref_meta.METARCNN):
+        def __init__(self):
+            super().__init__(['fg', 'bg'], num_way=2, num_shot=shot)
+            self.RCNN_base = nn.Identity()
+            self.RCNN_bbox_pred = nn.Linear(1024, 4)
+            self.RCNN_cls_score = nn.Sequential(nn.Linear(1024, 2))
+            self.sigmoid = nn.Sigmoid()
+            self.max_pooled = nn.MaxPool2d(2)
+
+        def _head_to_tail(self, pool5):
+            return pool5.mean(3).mean(2)
+
+    tm = TestMeta()
+    with torch.no_grad():
+        tm.RCNN_rpn.RPN_cls_score.weight.mul_(4.0)
+    tm.eval()
+
+    im, sup, im_info, im_t, sup_t = _identity_io(9, b, fh, fw, shot)
+    with torch.no_grad():
+        want = tm(im_t, torch.from_numpy(im_info), torch.zeros(b, 20, 5),
+                  torch.zeros(b), sup_t,
+                  all_cls_gt_boxes=torch.zeros(b, 20, 5))
+
+    params = _convert(tm)
+    _patch_ours_identity(monkeypatch)
+    config = _eval_config(shot, post)
+    out = frameworks.meta_forward(params, config, im, im_info, sup)
+    np.testing.assert_allclose(np.asarray(out['rois']), want[0].numpy(),
+                               rtol=1e-4, atol=5e-3)
+    _inject_ref_rois(monkeypatch, want[0].numpy())
+    out = frameworks.meta_forward(params, config, im, im_info, sup)
+    _assert_forward_match(out, want, b, post)
+
+
+def test_fgn_full_forward_matches_reference(ref, monkeypatch):
+    """Full FGN eval forward A/B (fgn.py:45-165): AvgPool2d(20) support
+    vector gates the base features before the RPN; cls head = conv/bn
+    (eval running-stats) stack on the support||roi concat.  BN affines
+    and running stats randomized so the normalization is exercised."""
+    import torch
+    from torch import nn
+
+    from dana_tpu.models import frameworks
+
+    b, fh, fw, shot, post = 2, 14, 19, 2, 50
+    _set_ref_eval_cfg(ref, post)
+    from model.framework import fgn as ref_fgn
+
+    torch.manual_seed(6)
+
+    class TestFGN(ref_fgn._fgnRCNN):
+        dout_base_model = 1024
+
+        def __init__(self):
+            super().__init__(['fg', 'bg'], n_way=2, n_shot=shot)
+            self.RCNN_base = nn.Identity()
+            self.RCNN_bbox_pred = nn.Linear(1024, 4)
+            self.RCNN_cls_score = nn.Linear(1152, 2)
+
+        def _head_to_tail(self, pool5):
+            return pool5.mean(3).mean(2)
+
+    tm = TestFGN()
+    with torch.no_grad():
+        # the AvgPool2d(20)-gated RPN input is tiny (std ~0.01):
+        # amplify both RPN convs so objectness separates cleanly
+        tm.RCNN_rpn.RPN_Conv.weight.mul_(4.0)
+        tm.RCNN_rpn.RPN_cls_score.weight.mul_(8.0)
+        for bn_l in (tm.bn1, tm.bn2):
+            bn_l.weight.uniform_(0.5, 1.5)
+            bn_l.bias.normal_(0, 0.1)
+            bn_l.running_mean.normal_(0, 0.05)
+            bn_l.running_var.uniform_(0.5, 1.5)
+    tm.eval()
+
+    im, sup, im_info, im_t, sup_t = _identity_io(13, b, fh, fw, shot)
+    with torch.no_grad():
+        want = tm(im_t, torch.from_numpy(im_info), torch.zeros(b, 20, 5),
+                  torch.zeros(b), sup_t)
+
+    params = _convert(tm)
+    _patch_ours_identity(monkeypatch)
+    config = _eval_config(shot, post)
+    out = frameworks.fgn_forward(params, config, im, im_info, sup)
+    np.testing.assert_allclose(np.asarray(out['rois']), want[0].numpy(),
+                               rtol=1e-4, atol=5e-3)
+    _inject_ref_rois(monkeypatch, want[0].numpy())
+    out = frameworks.fgn_forward(params, config, im, im_info, sup)
+    _assert_forward_match(out, want, b, post)
+
+    # the FGN cls-flatten permutation must round-trip through the
+    # reference-format exporter (torch_import._FGN_CLS_IN)
+    from dana_tpu.utils.torch_import import export_dana_state_dict
+    back = export_dana_state_dict({'RCNN_cls_score':
+                                   dict(params['RCNN_cls_score'])})
+    np.testing.assert_array_equal(
+        back['RCNN_cls_score.weight'],
+        tm.RCNN_cls_score.weight.detach().numpy())
+
+
 def test_proposal_layer_matches_reference(ref):
     """End-to-end proposal selection (decode + clip + top-k + NMS + pad)
     on identical random RPN outputs: our batched static-shape formulation
