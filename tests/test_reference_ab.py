@@ -379,6 +379,40 @@ def test_dana_full_forward_matches_reference(ref, monkeypatch):
     assert float(np.abs(g_prob[:, 1] - g_prob[0, 1]).max()) > 0.01
 
 
+def test_prep_im_for_blob_matches_reference(ref):
+    """Host query prep A/B vs the reference's own blob.py:35-52 (f32
+    in-place mean subtract, EFFECTIVE uncapped shortest-side scaling —
+    the MAX_SIZE cap is commented out — cv2 INTER_LINEAR resize), over
+    the COCO aspect spread including >1.67 where the cap would bind."""
+    from model.utils import blob as ref_blob
+
+    from dana_tpu.data import blob as our_blob
+    means = np.array([[[102.9801, 115.9465, 122.7717]]])
+    rng = np.random.default_rng(21)
+    for h, w in ((480, 640), (640, 480), (333, 500), (200, 667),
+                 (501, 333), (375, 1242)):   # last: aspect 3.3 (KITTI-ish)
+        im = (rng.random((h, w, 3)) * 255).astype(np.float32)
+        want, want_scale = ref_blob.prep_im_for_blob(
+            im.copy(), means, 600, 1000)     # max_size dead in reference
+        got, got_scale = our_blob.prep_im_for_blob(
+            im.copy(), means, 600, max_size=None)
+        assert got_scale == want_scale, (h, w)
+        # the reference's in-place `im -= pixel_means` uses the f64
+        # means operand (~4e-5 rounding delta vs our f32-means subtract)
+        np.testing.assert_allclose(got, want, atol=1e-3, rtol=0,
+                                   err_msg=f'{h}x{w}')
+
+    # im_list_to_blob (blob.py:20-32): single-image zero-padded canvas
+    im = (rng.random((37, 53, 3)) * 255).astype(np.float32)
+    want = ref_blob.im_list_to_blob([im])
+    got = our_blob.pad_to_canvas(im, (37, 53))
+    np.testing.assert_array_equal(got, want[0])
+    got_padded = our_blob.pad_to_canvas(im, (64, 64))
+    blob64 = np.zeros((64, 64, 3), np.float32)
+    blob64[:37, :53] = im
+    np.testing.assert_array_equal(got_padded, blob64)
+
+
 def _set_ref_eval_cfg(ref, post):
     ref.cfg.POOLING_SIZE = 7
     ref.cfg.POOLING_MODE = 'align'
