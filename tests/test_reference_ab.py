@@ -662,6 +662,82 @@ def test_fgn_full_forward_matches_reference(ref, monkeypatch):
         tm.RCNN_cls_score.weight.detach().numpy())
 
 
+def test_anchor_target_matches_reference_no_subsample(ref, monkeypatch):
+    """Anchor-target A/B vs _AnchorTargetLayer (anchor_target_layer.py:
+    48-199) in the DETERMINISTIC regime: an 8x11 grid with scales
+    (2,4,8) has 238 inside-image anchors < RPN_BATCHSIZE=256, so neither
+    fg nor bg subsampling triggers (np.random.permutation is patched to
+    raise, proving it) and labels / best-anchor-per-gt ties / targets /
+    weights / _unmap are exactly comparable."""
+    import torch
+
+    from dana_tpu.core.anchors import generate_anchors, shifted_anchors
+    from dana_tpu.models.rpn import anchor_target
+
+    b, fh, fw, a, g = 2, 8, 11, 9, 3
+    scales, ratios = (2, 4, 8), (0.5, 1, 2)
+    ref.cfg.TRAIN.RPN_BATCHSIZE = 256
+    ref.cfg.TRAIN.RPN_FG_FRACTION = 0.5
+    ref.cfg.TRAIN.RPN_POSITIVE_OVERLAP = 0.7
+    ref.cfg.TRAIN.RPN_NEGATIVE_OVERLAP = 0.3
+    ref.cfg.TRAIN.RPN_CLOBBER_POSITIVES = False
+    ref.cfg.TRAIN.RPN_POSITIVE_WEIGHT = -1.0
+    ref.cfg.TRAIN.RPN_BBOX_INSIDE_WEIGHTS = [1.0, 1.0, 1.0, 1.0]
+    from model.rpn import anchor_target_layer as ref_atl
+
+    def _no_subsample(*_a, **_k):
+        raise AssertionError('subsampling triggered — geometry broken')
+    monkeypatch.setattr(ref_atl.np.random, 'permutation', _no_subsample)
+
+    rng = np.random.default_rng(17)
+    gt = np.zeros((b, g, 5), np.float32)
+    for i in range(b):
+        xy = rng.uniform(0, 80, (g, 2))
+        wh = rng.uniform(25, 120, (g, 2))
+        gt[i, :, :4] = np.concatenate([xy, xy + wh], 1)
+        gt[i, :, 4] = 1
+    gt[1, 2] = 0                              # padded gt slot
+    im_info = np.tile(np.array([[fh * 16, fw * 16, 1.0]], np.float32),
+                      (b, 1))
+
+    layer = ref_atl._AnchorTargetLayer(16, list(scales), list(ratios))
+    dummy_score = torch.zeros(b, 2 * a, fh, fw)
+    with torch.no_grad():
+        w_lab, w_tgt, w_in, w_out = layer(
+            (dummy_score, torch.from_numpy(gt),
+             torch.from_numpy(im_info), torch.full((b,), g)))
+    n = fh * fw * a
+    w_lab = w_lab.reshape(b, a, fh, fw).permute(0, 2, 3, 1) \
+        .reshape(b, n).numpy()
+
+    def chw_to_flat(t):                       # [B, A*4, h, w] -> [B,N,4]
+        return t.reshape(b, a, 4, fh, fw).permute(0, 3, 4, 1, 2) \
+            .reshape(b, n, 4).numpy()
+    w_tgt, w_in, w_out = (chw_to_flat(t) for t in (w_tgt, w_in, w_out))
+
+    anchors = shifted_anchors(fh, fw, 16,
+                              generate_anchors(scales=np.array(scales),
+                                               ratios=ratios))
+    import jax
+    g_lab, g_tgt, g_in, g_out = anchor_target(
+        anchors, gt, im_info, jax.random.PRNGKey(0), batch_rois=256,
+        fg_fraction=0.5, pos_overlap=0.7, neg_overlap=0.3)
+    g_lab, g_tgt = np.asarray(g_lab), np.asarray(g_tgt)
+    g_in, g_out = np.asarray(g_in), np.asarray(g_out)
+
+    assert (w_lab == 1).sum() > 0 and (w_lab == 0).sum() > 0
+    np.testing.assert_array_equal(g_lab, w_lab)
+    np.testing.assert_allclose(g_tgt, w_tgt, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(g_in[..., None] * np.ones(4), w_in,
+                               rtol=0, atol=0)
+    # outside weights: the reference computes 1/num_examples from the
+    # LAST image's counts (leaked loop var, anchor_target_layer.py:
+    # 159-161) and applies it to every image; we compute per image.
+    # Exactly comparable on the last image only (documented deviation).
+    np.testing.assert_allclose(g_out[-1][..., None] * np.ones(4),
+                               w_out[-1], rtol=1e-6, atol=1e-9)
+
+
 def test_proposal_layer_matches_reference(ref):
     """End-to-end proposal selection (decode + clip + top-k + NMS + pad)
     on identical random RPN outputs: our batched static-shape formulation
