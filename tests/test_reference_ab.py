@@ -662,6 +662,61 @@ def test_fgn_full_forward_matches_reference(ref, monkeypatch):
         tm.RCNN_cls_score.weight.detach().numpy())
 
 
+def test_frcnn_full_forward_matches_reference(ref, monkeypatch):
+    """Full vanilla Faster R-CNN eval forward A/B (faster_rcnn.py:35-102)
+    with identity backbones: base -> RPN -> proposals -> RoIAlign ->
+    tail -> cls + bbox heads (no supports)."""
+    import torch
+    from torch import nn
+
+    from dana_tpu.models import frameworks
+
+    b, fh, fw, post, ncls = 2, 14, 19, 50, 3
+    _set_ref_eval_cfg(ref, post)
+    from model.framework import faster_rcnn as ref_frcnn
+
+    torch.manual_seed(15)
+
+    class TestFRCNN(ref_frcnn._fasterRCNN):
+        dout_base_model = 1024
+
+        def __init__(self):
+            super().__init__(['bg', 'a', 'b'], class_agnostic=False)
+            self.RCNN_base = nn.Identity()
+            self.RCNN_bbox_pred = nn.Linear(1024, 4 * ncls)
+            self.RCNN_cls_score = nn.Linear(1024, ncls)
+
+        def _head_to_tail(self, pool5):
+            return pool5.mean(3).mean(2)
+
+    tm = TestFRCNN()
+    with torch.no_grad():
+        tm.RCNN_rpn.RPN_cls_score.weight.mul_(2.0)
+        tm.RCNN_cls_score.weight.mul_(10.0)
+    tm.eval()
+
+    im, _, im_info, im_t, _ = _identity_io(19, b, fh, fw, 1)
+    with torch.no_grad():
+        want = tm(im_t, torch.from_numpy(im_info), torch.zeros(b, 20, 5),
+                  torch.zeros(b))
+
+    params = _convert(tm)
+    _patch_ours_identity(monkeypatch)
+    config = _eval_config(1, post)
+    out = frameworks.frcnn_forward(params, config, im, im_info)
+    np.testing.assert_allclose(np.asarray(out['rois']), want[0].numpy(),
+                               rtol=1e-4, atol=5e-3)
+    _inject_ref_rois(monkeypatch, want[0].numpy())
+    out = frameworks.frcnn_forward(params, config, im, im_info)
+    g_prob = np.asarray(out['cls_prob']).reshape(b * post, ncls)
+    g_bbox = np.asarray(out['bbox_pred']).reshape(b * post, 4 * ncls)
+    np.testing.assert_allclose(g_prob, want[1].numpy().reshape(-1, ncls),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(g_bbox, want[2].numpy().reshape(-1, 4 * ncls),
+                               rtol=1e-3, atol=1e-4)
+    assert float(np.abs(g_prob[:, 1] - g_prob[0, 1]).max()) > 0.003
+
+
 def test_anchor_target_matches_reference_no_subsample(ref, monkeypatch):
     """Anchor-target A/B vs _AnchorTargetLayer (anchor_target_layer.py:
     48-199) in the DETERMINISTIC regime: an 8x11 grid with scales
