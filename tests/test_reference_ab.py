@@ -717,6 +717,169 @@ def test_frcnn_full_forward_matches_reference(ref, monkeypatch):
     assert float(np.abs(g_prob[:, 1] - g_prob[0, 1]).max()) > 0.003
 
 
+def test_dana_train_losses_match_reference(ref, monkeypatch):
+    """TRAIN-mode loss A/B on the reference's own _DAnARCNN forward
+    (dana.py:87-220 training branch): both sides get IDENTICAL injected
+    anchor-target and proposal-target outputs (the only stochastic
+    stages), so the compared quantities are the exact loss semantics —
+    masked RPN cross-entropy over the 256 sampled anchors, RPN
+    smooth-L1 sigma=3 summed over all dims, R-CNN smooth-L1 on the
+    sampled rois, and the gnarly 1:2:1 hard-mined pair CE
+    (dana.py:204-215: global flattened index space, pos-branch bg
+    ranked by fg-prob capped at 2*n_fg, neg-branch capped at n_fg)."""
+    import torch
+    from torch import nn
+
+    from dana_tpu.models import dana
+    from dana_tpu.models import layers as L
+    from dana_tpu.models import rpn as rpn_lib
+
+    b, fh, fw, c, shot, way, r_per = 2, 14, 19, 1024, 2, 2, 128
+    a = 9
+    n = fh * fw * a
+    ref.cfg.POOLING_SIZE = 7
+    ref.cfg.POOLING_MODE = 'align'
+    ref.cfg.ANCHOR_SCALES = [8, 16, 32]
+    ref.cfg.ANCHOR_RATIOS = [0.5, 1, 2]
+    ref.cfg.FEAT_STRIDE = [16]
+    ref.cfg.TRAIN.BATCH_SIZE = r_per
+    ref.cfg.TRAIN.RPN_PRE_NMS_TOP_N = 300
+    ref.cfg.TRAIN.RPN_POST_NMS_TOP_N = 50
+    ref.cfg.TRAIN.RPN_NMS_THRESH = 0.7
+    from model.framework import dana as ref_dana
+
+    torch.manual_seed(23)
+
+    class TestDana(ref_dana._DAnARCNN):
+        def __init__(self):
+            super().__init__(['fg', 'bg'], 'concat', 256, 256, 0.1,
+                             False, n_way=way, n_shot=shot,
+                             pos_encoding=True)
+            self.RCNN_base = nn.Identity()
+            self.RCNN_bbox_pred = nn.Linear(c, 4)
+
+        def _head_to_tail(self, pool5):
+            return pool5.mean(3).mean(2)
+
+    tm = TestDana()
+    with torch.no_grad():
+        for name, p in tm.named_parameters():
+            if 'adapt' in name or 'unary' in name:
+                p.mul_(10.0)
+    tm.train()
+
+    rng = np.random.default_rng(29)
+    im = rng.normal(0, 0.5, (b, fh, fw, c)).astype(np.float32)
+    sup = rng.normal(0, 0.5, (b, way * shot, 20, 20, c)).astype(np.float32)
+    im_info = np.array([[fh * 16, fw * 16, 1.0],
+                        [fh * 16 - 40, fw * 16 - 64, 1.0]], np.float32)
+
+    # ---- shared injected targets (flat (h,w,a) layouts) --------------
+    at_lab = np.full((b, n), -1, np.int64)
+    for i in range(b):
+        pick = rng.choice(n, 256, replace=False)
+        at_lab[i, pick[:100]] = 1
+        at_lab[i, pick[100:]] = 0
+    at_tgt = rng.normal(0, 0.2, (b, n, 4)).astype(np.float32)
+    at_in = (at_lab == 1).astype(np.float32)
+    at_out = ((at_lab >= 0) / 256.0).astype(np.float32)
+
+    rois = np.zeros((b, r_per, 5), np.float32)
+    for i in range(b):
+        xy = rng.uniform(0, 150, (r_per, 2))
+        wh = rng.uniform(10, 80, (r_per, 2))
+        rois[i, :, 0] = i
+        rois[i, :, 1:3] = xy
+        rois[i, :, 3:5] = xy + wh
+    pt_lab = np.zeros((b, r_per), np.int64)
+    pt_lab[:, :32] = 1
+    pt_tgt = rng.normal(0, 0.2, (b, r_per, 4)).astype(np.float32)
+    pt_in = np.repeat((pt_lab == 1)[..., None], 4, -1).astype(np.float32)
+    pt_out = pt_in.copy()
+
+    # ---- reference side: swap the stochastic layers for the fixtures -
+    def to_ref_lab(lab):
+        t = lab.reshape(b, fh, fw, a).transpose(0, 3, 1, 2)
+        return torch.from_numpy(
+            np.ascontiguousarray(t.reshape(b, 1, a * fh, fw))).float()
+
+    def to_ref_quad(x):                       # [B,N,4] -> [B,4A,h,w]
+        t = x.reshape(b, fh, fw, a, 4).transpose(0, 3, 4, 1, 2)
+        return torch.from_numpy(
+            np.ascontiguousarray(t.reshape(b, 4 * a, fh, fw)))
+
+    ref_rpn_data = [to_ref_lab(at_lab), to_ref_quad(at_tgt),
+                    to_ref_quad(np.repeat(at_in[..., None], 4, -1)),
+                    to_ref_quad(np.repeat(at_out[..., None], 4, -1))]
+    # nn.Module forbids assigning plain callables over registered child
+    # modules — unregister first
+    del tm.RCNN_rpn._modules['RPN_anchor_target']
+    del tm._modules['RCNN_proposal_target']
+    tm.RCNN_rpn.RPN_anchor_target = lambda inp: ref_rpn_data
+    tm.RCNN_proposal_target = lambda *inp: (
+        torch.from_numpy(rois), torch.from_numpy(pt_lab).float(),
+        torch.from_numpy(pt_tgt), torch.from_numpy(pt_in),
+        torch.from_numpy(pt_out))
+
+    im_t = torch.from_numpy(np.ascontiguousarray(im.transpose(0, 3, 1, 2)))
+    sup_t = torch.from_numpy(
+        np.ascontiguousarray(sup.transpose(0, 1, 4, 2, 3)))
+    with torch.no_grad():
+        want = tm(im_t, torch.from_numpy(im_info), torch.zeros(b, 20, 5),
+                  torch.zeros(b), sup_t)
+    (w_rois, w_prob, w_bbox, w_rpn_cls, w_rpn_box, w_cls, w_box,
+     w_lab) = want
+
+    # ---- our side ----------------------------------------------------
+    import jax
+    import jax.numpy as jnp
+    params = _convert(tm)
+    params['backbone'] = {}
+    monkeypatch.setattr(dana, 'backbone_base', lambda p, cfg_, x: x)
+    monkeypatch.setattr(dana, 'backbone_tail',
+                        lambda p, cfg_, pooled: pooled.mean(axis=(1, 2)))
+    monkeypatch.setattr(
+        rpn_lib, 'anchor_target',
+        lambda *a_, **k: (jnp.asarray(at_lab, jnp.int32),
+                          jnp.asarray(at_tgt), jnp.asarray(at_in),
+                          jnp.asarray(at_out)))
+    monkeypatch.setattr(
+        rpn_lib, 'proposal_target',
+        lambda *a_, **k: (jnp.asarray(rois),
+                          jnp.asarray(pt_lab, jnp.int32),
+                          jnp.asarray(pt_tgt), jnp.asarray(pt_in),
+                          jnp.asarray(pt_out)))
+    sup_pooled = np.asarray(L.avg_pool(
+        sup.reshape(b * way * shot, 20, 20, c), window=14,
+        stride=1)).reshape(b, way * shot, 7, 7, c)
+    config = dana.DanaConfig(
+        n_way=way, n_shot=shot, anchor_scales=(8, 16, 32),
+        train_pre_nms=300, train_post_nms=50, nms_cap=300,
+        use_pallas_attention=False)
+    out = dana.forward(params, config, im, im_info, training=True,
+                       gt_boxes=jnp.zeros((b, 20, 5)),
+                       rng=jax.random.PRNGKey(0),
+                       support_feats=(sup, sup_pooled))
+
+    np.testing.assert_allclose(float(out['rpn_loss_cls']),
+                               float(w_rpn_cls), rtol=1e-4)
+    np.testing.assert_allclose(float(out['rpn_loss_box']),
+                               float(w_rpn_box), rtol=1e-4)
+    np.testing.assert_allclose(float(out['rcnn_loss_bbox']),
+                               float(w_box), rtol=1e-4)
+    np.testing.assert_allclose(float(out['rcnn_loss_cls']),
+                               float(w_cls), rtol=1e-4)
+    # branch outputs: reference cats pos then neg along the roi axis
+    g_prob = np.asarray(out['cls_prob']).reshape(b * r_per, 2)
+    np.testing.assert_allclose(g_prob, w_prob[:b * r_per].numpy(),
+                               rtol=1e-3, atol=1e-4)
+    g_neg = np.asarray(jax.nn.softmax(out['neg_cls_score'], -1)) \
+        .reshape(b * r_per, 2)
+    np.testing.assert_allclose(g_neg, w_prob[b * r_per:].numpy(),
+                               rtol=1e-3, atol=1e-4)
+    assert float(w_cls) > 0.1 and float(w_rpn_cls) > 0.1
+
+
 def test_anchor_target_matches_reference_no_subsample(ref, monkeypatch):
     """Anchor-target A/B vs _AnchorTargetLayer (anchor_target_layer.py:
     48-199) in the DETERMINISTIC regime: an 8x11 grid with scales
