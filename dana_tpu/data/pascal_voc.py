@@ -51,24 +51,38 @@ class pascal_voc(imdb):
         size = tree.find('size')
         width = int(size.find('width').text)
         height = int(size.find('height').text)
-        objs = [o for o in tree.findall('object')
-                if int(o.find('difficult').text) == 0]
-        n = len(objs)
-        boxes = np.zeros((n, 4), np.float32)
-        gt_classes = np.zeros((n,), np.int32)
-        overlaps = np.zeros((n, self.num_classes), np.float32)
-        for ix, obj in enumerate(objs):
-            bb = obj.find('bndbox')
-            # VOC pixel indexes are 1-based (pascal_voc.py:217-220)
-            boxes[ix] = [float(bb.find('xmin').text) - 1,
-                         float(bb.find('ymin').text) - 1,
-                         float(bb.find('xmax').text) - 1,
-                         float(bb.find('ymax').text) - 1]
-            cls = self._class_to_ind[obj.find('name').text.lower().strip()]
-            gt_classes[ix] = cls
-            overlaps[ix, cls] = 1.0
+        all_objs = tree.findall('object')
+        objs = [o for o in all_objs if int(o.find('difficult').text) == 0]
+        diff_objs = [o for o in all_objs
+                     if int(o.find('difficult').text) != 0]
+
+        def parse(objs_):
+            n = len(objs_)
+            boxes = np.zeros((n, 4), np.float32)
+            classes = np.zeros((n,), np.int32)
+            for ix, obj in enumerate(objs_):
+                bb = obj.find('bndbox')
+                # VOC pixel indexes are 1-based (pascal_voc.py:217-220)
+                boxes[ix] = [float(bb.find('xmin').text) - 1,
+                             float(bb.find('ymin').text) - 1,
+                             float(bb.find('xmax').text) - 1,
+                             float(bb.find('ymax').text) - 1]
+                classes[ix] = self._class_to_ind[
+                    obj.find('name').text.lower().strip()]
+            return boxes, classes
+
+        boxes, gt_classes = parse(objs)
+        # difficult objects are excluded from the training roidb (the
+        # reference's use_diff=False filter, pascal_voc.py:206-211) but
+        # voc_eval still IGNORES detections matching them (neither tp
+        # nor fp, voc_eval.py:186-193) — keep them for evaluation
+        diff_boxes, diff_classes = parse(diff_objs)
+        overlaps = np.zeros((len(objs), self.num_classes), np.float32)
+        overlaps[np.arange(len(objs)), gt_classes] = 1.0
         return {'width': width, 'height': height, 'boxes': boxes,
                 'gt_classes': gt_classes, 'gt_overlaps': overlaps,
+                'difficult_boxes': diff_boxes,
+                'difficult_classes': diff_classes,
                 'flipped': False,
                 'seg_areas': (boxes[:, 2] - boxes[:, 0] + 1)
                 * (boxes[:, 3] - boxes[:, 1] + 1)}
@@ -94,8 +108,19 @@ class pascal_voc(imdb):
         npos = 0
         for i, entry in enumerate(self.roidb):
             mask = entry['gt_classes'] == cls_ind
-            recs[i] = {'bbox': entry['boxes'][mask],
-                       'det': np.zeros(mask.sum(), bool)}
+            easy = entry['boxes'][mask]
+            dmask = entry.get('difficult_classes',
+                              np.zeros(0, np.int32)) == cls_ind
+            diff = entry.get('difficult_boxes',
+                             np.zeros((0, 4), np.float32))[dmask]
+            # difficult gt participate in matching but are ignored
+            # (voc_eval.py:134-141,186-193): stack them after the
+            # countable boxes with an ignore flag
+            recs[i] = {'bbox': np.concatenate([easy, diff], 0),
+                       'difficult': np.concatenate(
+                           [np.zeros(len(easy), bool),
+                            np.ones(len(diff), bool)]),
+                       'det': np.zeros(len(easy) + len(diff), bool)}
             npos += int(mask.sum())
             d = boxes_per_img[i]
             if d is not None and len(d):
@@ -121,9 +146,15 @@ class pascal_voc(imdb):
                          * (gt[:, 3] - gt[:, 1] + 1) - inter)
                 ious = inter / union
                 jmax = int(np.argmax(ious))
-                if ious[jmax] > iou_thr and not recs[img]['det'][jmax]:
-                    tp[di] = 1
-                    recs[img]['det'][jmax] = True
+                if ious[jmax] > iou_thr:
+                    if not recs[img]['difficult'][jmax]:
+                        if not recs[img]['det'][jmax]:
+                            tp[di] = 1
+                            recs[img]['det'][jmax] = True
+                        else:
+                            fp[di] = 1
+                    # matching a difficult gt: neither tp nor fp
+                    # (voc_eval.py:186-191)
                 else:
                     fp[di] = 1
             else:

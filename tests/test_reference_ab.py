@@ -413,6 +413,105 @@ def test_prep_im_for_blob_matches_reference(ref):
     np.testing.assert_array_equal(got_padded, blob64)
 
 
+def test_voc_eval_matches_reference(ref, tmp_path):
+    """VOC AP A/B vs the reference's own voc_eval.py over a synthetic
+    devkit with DIFFICULT objects (matched detections must be neither
+    tp nor fp, voc_eval.py:134-141,186-193), both 07 and 12 metrics.
+    The reference consumes 1-based results files; our in-memory eval
+    runs 0-based — translation-invariant IoU makes them comparable."""
+    # load by path: `import datasets.voc_eval` would run the package
+    # __init__ (pycocotools etc.)
+    import importlib.util as ilu
+    spec = ilu.spec_from_file_location(
+        'ref_voc_eval', osp.join(REF_LIB, 'datasets', 'voc_eval.py'))
+    ref_ve = ilu.module_from_spec(spec)
+    spec.loader.exec_module(ref_ve)
+
+    from dana_tpu.data.pascal_voc import VOC_CLASSES, pascal_voc
+
+    rng = np.random.default_rng(31)
+    classes = ('aeroplane', 'bicycle', 'bird')
+    n_imgs = 6
+    devkit = tmp_path / 'VOCdevkit2007'
+    ann = devkit / 'VOC2007' / 'Annotations'
+    isets = devkit / 'VOC2007' / 'ImageSets' / 'Main'
+    ann.mkdir(parents=True)
+    isets.mkdir(parents=True)
+
+    gt = {}                                   # img -> [(cls, box, diff)]
+    for i in range(n_imgs):
+        name = f'{i:06d}'
+        objs = []
+        for _ in range(int(rng.integers(2, 6))):
+            cls = classes[int(rng.integers(len(classes)))]
+            xy = rng.integers(1, 300, 2)
+            wh = rng.integers(20, 120, 2)
+            box = (int(xy[0]), int(xy[1]),
+                   int(xy[0] + wh[0]), int(xy[1] + wh[1]))
+            objs.append((cls, box, int(rng.random() < 0.3)))
+        gt[name] = objs
+        xml = ['<annotation><size><width>500</width>'
+               '<height>460</height><depth>3</depth></size>']
+        for cls, (x1, y1, x2, y2), diff in objs:
+            xml.append(
+                f'<object><name>{cls}</name><pose>x</pose>'
+                f'<truncated>0</truncated><difficult>{diff}</difficult>'
+                f'<bndbox><xmin>{x1}</xmin><ymin>{y1}</ymin>'
+                f'<xmax>{x2}</xmax><ymax>{y2}</ymax></bndbox></object>')
+        xml.append('</annotation>')
+        (ann / f'{name}.xml').write_text(''.join(xml))
+    (isets / 'test.txt').write_text(
+        '\n'.join(f'{i:06d}' for i in range(n_imgs)) + '\n')
+
+    # detections: jittered copies of every gt box (incl. difficult) +
+    # pure noise, distinct confidences; ours 0-based, files 1-based
+    ds = pascal_voc('test', '2007', devkit_path=str(devkit))
+    all_boxes = [[None] * n_imgs for _ in VOC_CLASSES]
+    det_lines = {c: [] for c in classes}
+    for i in range(n_imgs):
+        name = f'{i:06d}'
+        per_cls = {c: [] for c in classes}
+        for cls, (x1, y1, x2, y2), _diff in gt[name]:
+            j = rng.normal(0, 6, 4)
+            bb1 = (x1 + j[0], y1 + j[1], x2 + j[2], y2 + j[3])
+            per_cls[cls].append(bb1 + (float(rng.random()),))
+        for cls in classes:
+            for _ in range(2):                # noise dets
+                xy = rng.uniform(1, 300, 2)
+                wh = rng.uniform(20, 120, 2)
+                per_cls[cls].append((xy[0], xy[1], xy[0] + wh[0],
+                                     xy[1] + wh[1], float(rng.random())))
+            arr = np.array(per_cls[cls], np.float32)
+            ci = VOC_CLASSES.index(cls)
+            # ours: 0-based boxes, [x1,y1,x2,y2,score]
+            ours = arr.copy()
+            ours[:, :4] -= 1.0
+            all_boxes[ci][i] = np.concatenate(
+                [ours[:, :4], ours[:, 4:5]], 1)
+            for x1d, y1d, x2d, y2d, sc in arr:
+                det_lines[cls].append(
+                    f'{name} {sc:.6f} {x1d:.1f} {y1d:.1f} '
+                    f'{x2d:.1f} {y2d:.1f}')
+    det_dir = tmp_path / 'dets'
+    det_dir.mkdir()
+    for cls in classes:
+        (det_dir / f'{cls}.txt').write_text('\n'.join(det_lines[cls]))
+
+    cache = tmp_path / 'cache'
+    for use_07 in (True, False):
+        for cls in classes:
+            _, _, want_ap = ref_ve.voc_eval(
+                str(det_dir / '{:s}.txt'), str(ann / '{:s}.xml'),
+                str(isets / 'test.txt'), cls, str(cache),
+                ovthresh=0.5, use_07_metric=use_07)
+            got_ap = ds._eval_class(all_boxes[VOC_CLASSES.index(cls)],
+                                    VOC_CLASSES.index(cls),
+                                    use_07=use_07)
+            np.testing.assert_allclose(got_ap, want_ap, rtol=1e-6,
+                                       err_msg=f'{cls} 07={use_07}')
+            assert 0.0 < got_ap < 1.0
+
+
 def _set_ref_eval_cfg(ref, post):
     ref.cfg.POOLING_SIZE = 7
     ref.cfg.POOLING_MODE = 'align'
