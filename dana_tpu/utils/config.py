@@ -123,6 +123,9 @@ def _default_cfg() -> AttrDict:
     c.DEDUP_BOXES = 1.0 / 16.0
     c.DATA_DIR = 'data'
     c.ROOT_DIR = '.'
+    # legacy VOC-devkit MATLAB eval binary name (config.py:273); unused
+    # by any FSOD flow but kept for unconditional key parity
+    c.MATLAB = 'matlab'
     # Pixel mean values (BGR order, Caffe convention) as a (1, 1, 3) array.
     c.PIXEL_MEANS = np.array([[[102.9801, 115.9465, 122.7717]]])
     c.RNG_SEED = 3

@@ -111,12 +111,31 @@ def ref():
         ed = types.ModuleType('easydict')
 
         class EasyDict(dict):
+            """Faithful stand-in for the real easydict: nested dicts
+            wrap RECURSIVELY and list/tuple values become LISTS (the
+            reference's __C.TRAIN.SCALES = (600,) must type-match a
+            yaml [800] in _merge_a_into_b's type check)."""
+
+            def __init__(self, d=None, **kw):
+                super().__init__()
+                for k, v in dict(d or {}, **kw).items():
+                    self[k] = v
+
             def __getattr__(self, k):
                 try:
                     return self[k]
                 except KeyError:
                     raise AttributeError(k)
-            __setattr__ = dict.__setitem__
+
+            def __setattr__(self, k, v):
+                if isinstance(v, (list, tuple)):
+                    v = [EasyDict(x) if isinstance(x, dict) else x
+                         for x in v]
+                elif isinstance(v, dict) and not isinstance(v, EasyDict):
+                    v = EasyDict(v)
+                dict.__setitem__(self, k, v)
+
+            __setitem__ = __setattr__
             __delattr__ = dict.__delitem__
 
         ed.EasyDict = EasyDict
@@ -411,6 +430,69 @@ def test_prep_im_for_blob_matches_reference(ref):
     blob64 = np.zeros((64, 64, 3), np.float32)
     blob64[:37, :53] = im
     np.testing.assert_array_equal(got_padded, blob64)
+
+
+def test_config_tree_matches_reference(ref):
+    """Effective config parity: a PRISTINE copy of the reference's
+    config module (fresh by-path load, untouched by other tests) with
+    each shipped cfgs/*.yml merged must agree with our config tree on
+    EVERY reference key — defaults and YAML overrides both
+    (config.py:11-303, cfg_from_file:371).  Host-path keys whose values
+    are derived from __file__ are exempt."""
+    import importlib.util as ilu
+
+    from dana_tpu.utils.config import cfg as our_cfg
+    from dana_tpu.utils.config import cfg_from_file, reset_cfg
+
+    ENV_KEYS = {'ROOT_DIR', 'DATA_DIR', 'EXP_DIR'}
+
+    def fresh_ref_cfg():
+        spec = ilu.spec_from_file_location(
+            'ref_config_pristine',
+            osp.join(REF_LIB, 'model', 'utils', 'config.py'))
+        mod = ilu.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    def compare(ref_node, our_node, path=''):
+        missing, diff = [], []
+        for k, rv in ref_node.items():
+            p = f'{path}.{k}' if path else k
+            if k in ENV_KEYS:
+                continue
+            if k not in our_node:
+                missing.append(p)
+                continue
+            ov = our_node[k]
+            if isinstance(rv, dict):
+                m, d = compare(rv, ov, p)
+                missing += m
+                diff += d
+            elif isinstance(rv, np.ndarray):
+                if not np.allclose(np.asarray(ov, np.float64),
+                                   rv.astype(np.float64)):
+                    diff.append(p)
+            elif isinstance(rv, (list, tuple)):
+                if list(rv) != list(ov):
+                    diff.append(p)
+            elif isinstance(rv, float):
+                if abs(rv - float(ov)) > 1e-12:
+                    diff.append(p)
+            elif rv != ov:
+                diff.append(p)
+        return missing, diff
+
+    for yml in (None, 'res50.yml', 'res101.yml', 'res101_ls.yml',
+                'vgg16.yml'):
+        mod = fresh_ref_cfg()
+        reset_cfg()
+        if yml is not None:
+            mod.cfg_from_file(f'/root/reference/cfgs/{yml}')
+            cfg_from_file(osp.join('/root/repo/cfgs', yml))
+        missing, diff = compare(mod.cfg, our_cfg)
+        assert not missing, f'{yml}: keys missing from ours: {missing}'
+        assert not diff, f'{yml}: values differ: {diff}'
+    reset_cfg()
 
 
 def test_voc_eval_matches_reference(ref, tmp_path):
