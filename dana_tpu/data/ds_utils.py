@@ -38,4 +38,6 @@ def validate_boxes(boxes, width=0, height=0):
 def filter_small_boxes(boxes, min_size):
     w = boxes[:, 2] - boxes[:, 0]
     h = boxes[:, 3] - boxes[:, 1]
-    return np.where((w >= min_size) & (h >= min_size))[0]
+    # the asymmetric w>= / h> comparison mirrors the reference exactly
+    # (ds_utils.py:46-49)
+    return np.where((w >= min_size) & (h > min_size))[0]

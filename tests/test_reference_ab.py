@@ -432,6 +432,34 @@ def test_prep_im_for_blob_matches_reference(ref):
     np.testing.assert_array_equal(got_padded, blob64)
 
 
+def test_ds_utils_matches_reference(ref):
+    """ds_utils A/B incl. the reference's asymmetric w>= / h> small-box
+    filter (ds_utils.py:46-49) at the h == min_size boundary."""
+    import importlib.util as ilu
+    spec = ilu.spec_from_file_location(
+        'ref_ds_utils', osp.join(REF_LIB, 'datasets', 'ds_utils.py'))
+    ref_du = ilu.module_from_spec(spec)
+    spec.loader.exec_module(ref_du)
+
+    from dana_tpu.data import ds_utils as our_du
+    rng = np.random.default_rng(41)
+    boxes = _rand_boxes(rng, 50)
+    boxes[7] = boxes[3]                       # exact duplicate
+    np.testing.assert_array_equal(our_du.unique_boxes(boxes),
+                                  ref_du.unique_boxes(boxes))
+    xywh = np.abs(rng.normal(10, 5, (20, 4)))
+    np.testing.assert_array_equal(our_du.xywh_to_xyxy(xywh),
+                                  ref_du.xywh_to_xyxy(xywh))
+    np.testing.assert_array_equal(our_du.xyxy_to_xywh(boxes),
+                                  ref_du.xyxy_to_xywh(boxes))
+    small = boxes.copy()
+    small[5, 2] = small[5, 0] + 16            # w == min exactly (kept)
+    small[6, 3] = small[6, 1] + 16            # h == min exactly (DROPPED)
+    np.testing.assert_array_equal(
+        our_du.filter_small_boxes(small, 16),
+        ref_du.filter_small_boxes(small, 16))
+
+
 def test_config_tree_matches_reference(ref):
     """Effective config parity: a PRISTINE copy of the reference's
     config module (fresh by-path load, untouched by other tests) with
