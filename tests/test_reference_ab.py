@@ -520,6 +520,21 @@ def test_config_tree_matches_reference(ref):
         missing, diff = compare(mod.cfg, our_cfg)
         assert not missing, f'{yml}: keys missing from ours: {missing}'
         assert not diff, f'{yml}: values differ: {diff}'
+
+    # CLI override path (cfg_from_list / --set pairs, config.py:380-400;
+    # this is how utils.py's --ascale presets land, utils.py:68-73)
+    from dana_tpu.utils.config import cfg_from_list
+    mod = fresh_ref_cfg()
+    reset_cfg()
+    pairs = ['ANCHOR_SCALES', '[4, 8, 16, 32]',
+             'TRAIN.SCALES', '[700]',
+             'TRAIN.LEARNING_RATE', '0.01',
+             'MAX_NUM_GT_BOXES', '30',
+             'POOLING_MODE', 'pool']
+    mod.cfg_from_list(list(pairs))
+    cfg_from_list(list(pairs))
+    missing, diff = compare(mod.cfg, our_cfg)
+    assert not missing and not diff, (missing, diff)
     reset_cfg()
 
 
