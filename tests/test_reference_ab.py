@@ -432,6 +432,65 @@ def test_prep_im_for_blob_matches_reference(ref):
     np.testing.assert_array_equal(got_padded, blob64)
 
 
+def test_demo_preprocess_matches_reference(ref, monkeypatch):
+    """Demo-path prep A/B vs the reference's root utils.py:
+    support_im_preprocess (RGB->BGR, mean-sub at scale 1, long-side-320
+    resize, top-left zero pad; utils.py:207-227) and query_im_preprocess
+    (shortest-side-600, utils.py:229-239).  The reference takes RGB
+    demo images; our API takes BGR (every loader feeds BGR) — the A/B
+    feeds each its own convention of the same pixels."""
+    import importlib.util as ilu
+
+    import scipy.misc as sm
+    import torch
+
+    # reference utils.py needs imread (removed from scipy) + pycocotools
+    monkeypatch.setattr(sm, 'imread', lambda *_a, **_k: None,
+                        raising=False)
+    if 'pycocotools' not in sys.modules:
+        pc = types.ModuleType('pycocotools')
+        pcc = types.ModuleType('pycocotools.coco')
+        pcc.COCO = type('COCO', (), {})
+        pc.coco = pcc
+        monkeypatch.setitem(sys.modules, 'pycocotools', pc)
+        monkeypatch.setitem(sys.modules, 'pycocotools.coco', pcc)
+    spec = ilu.spec_from_file_location('ref_root_utils',
+                                       '/root/reference/utils.py')
+    ref_utils = ilu.module_from_spec(spec)
+    spec.loader.exec_module(ref_utils)
+
+    import utils as our_utils
+    from dana_tpu.utils.config import cfg as our_cfg
+    from dana_tpu.utils.config import reset_cfg
+    reset_cfg()
+
+    rng = np.random.default_rng(37)
+    for h, w in ((240, 180), (180, 240), (200, 200), (97, 311)):
+        im_rgb = (rng.random((h, w, 3)) * 255).astype(np.float32)
+        im_bgr = np.ascontiguousarray(im_rgb[:, :, ::-1])
+
+        want = ref_utils.support_im_preprocess(
+            [im_rgb.copy()], ref.cfg, 320).numpy()    # [1, 1, 3, 320, 320]
+        got = our_utils.support_im_preprocess(im_bgr.copy(), our_cfg,
+                                              320, n_of_shot=1)
+        np.testing.assert_allclose(got.transpose(0, 3, 1, 2), want[0],
+                                   atol=1e-3, rtol=0, err_msg=f'{h}x{w}')
+
+        q, info, _, _ = ref_utils.query_im_preprocess(im_bgr.copy(),
+                                                      ref.cfg)
+        q = q.numpy()[0].transpose(1, 2, 0)           # [H', W', 3]
+        g_data, g_info = our_utils.query_im_preprocess(im_bgr.copy(),
+                                                       our_cfg)
+        gh, gw = int(g_info[0]), int(g_info[1])
+        assert (gh, gw) == q.shape[:2], (h, w)
+        np.testing.assert_allclose(float(g_info[2]),
+                                   float(info.numpy()[0, 2]), rtol=1e-6)
+        # ours returns a bucket-padded canvas; content region must match
+        np.testing.assert_allclose(g_data[:gh, :gw], q, atol=1e-3,
+                                   rtol=0, err_msg=f'{h}x{w}')
+        assert np.all(g_data[gh:] == 0) and np.all(g_data[:, gw:] == 0)
+
+
 def test_ds_utils_matches_reference(ref):
     """ds_utils A/B incl. the reference's asymmetric w>= / h> small-box
     filter (ds_utils.py:46-49) at the h == min_size boundary."""
