@@ -189,12 +189,10 @@ def iou_anchor_target(anchors, gt_boxes, im_info, key, **kw):
     public API surface."""
     labels, targets, in_w, out_w = anchor_target(anchors, gt_boxes,
                                                  im_info, key, **kw)
+    # the reference computes the IoU map over ALL anchors with no
+    # inside-image filter (iou_anchor_target_layer.py:193-196)
     ov = iou_matrix_masked(anchors[None], gt_boxes)
-    inside = ((anchors[:, 0] >= 0) & (anchors[:, 1] >= 0) &
-              (anchors[:, 2] < im_info[:, None, 1]) &
-              (anchors[:, 3] < im_info[:, None, 0]))
-    max_ov = jnp.where(inside, ov.max(axis=2), 0.0)
-    return labels, targets, in_w, out_w, max_ov
+    return labels, targets, in_w, out_w, ov.max(axis=2)
 
 
 def proposal_target(rois, gt_boxes, key, *, rois_per_image=128,

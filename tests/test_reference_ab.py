@@ -1239,6 +1239,63 @@ def test_anchor_target_matches_reference_no_subsample(ref, monkeypatch):
                                w_out[-1], rtol=1e-6, atol=1e-9)
 
 
+def test_iou_anchor_target_matches_reference(ref, monkeypatch):
+    """_IOUAnchorTargetLayer A/B in the deterministic regime: the four
+    anchor-target outputs plus the 5th per-anchor max-IoU map, which
+    the reference computes over ALL anchors with no inside-image filter
+    (iou_anchor_target_layer.py:193-196)."""
+    import torch
+
+    from dana_tpu.core.anchors import generate_anchors, shifted_anchors
+    from dana_tpu.models.rpn import iou_anchor_target
+
+    b, fh, fw, a, g = 2, 8, 11, 9, 3
+    scales, ratios = (2, 4, 8), (0.5, 1, 2)
+    ref.cfg.TRAIN.RPN_BATCHSIZE = 256
+    ref.cfg.TRAIN.RPN_FG_FRACTION = 0.5
+    ref.cfg.TRAIN.RPN_POSITIVE_OVERLAP = 0.7
+    ref.cfg.TRAIN.RPN_NEGATIVE_OVERLAP = 0.3
+    ref.cfg.TRAIN.RPN_CLOBBER_POSITIVES = False
+    ref.cfg.TRAIN.RPN_POSITIVE_WEIGHT = -1.0
+    ref.cfg.TRAIN.RPN_BBOX_INSIDE_WEIGHTS = [1.0, 1.0, 1.0, 1.0]
+    from model.rpn import iou_anchor_target_layer as ref_iatl
+
+    monkeypatch.setattr(
+        ref_iatl.np.random, 'permutation',
+        lambda *_: (_ for _ in ()).throw(AssertionError('subsampled')))
+
+    rng = np.random.default_rng(43)
+    gt = np.zeros((b, g, 5), np.float32)
+    for i in range(b):
+        xy = rng.uniform(0, 80, (g, 2))
+        wh = rng.uniform(25, 120, (g, 2))
+        gt[i, :, :4] = np.concatenate([xy, xy + wh], 1)
+        gt[i, :, 4] = 1
+    im_info = np.tile(np.array([[fh * 16, fw * 16, 1.0]], np.float32),
+                      (b, 1))
+    layer = ref_iatl._IOUAnchorTargetLayer(16, list(scales), list(ratios))
+    with torch.no_grad():
+        outs = layer((torch.zeros(b, 2 * a, fh, fw), torch.from_numpy(gt),
+                      torch.from_numpy(im_info), torch.full((b,), g)))
+    n = fh * fw * a
+    w_lab = outs[0].reshape(b, a, fh, fw).permute(0, 2, 3, 1) \
+        .reshape(b, n).numpy()
+    w_iou = outs[4].reshape(b, a, fh, fw).permute(0, 2, 3, 1) \
+        .reshape(b, n).numpy()
+
+    anchors = shifted_anchors(fh, fw, 16,
+                              generate_anchors(scales=np.array(scales),
+                                               ratios=ratios))
+    import jax
+    g_lab, _, _, _, g_iou = iou_anchor_target(
+        anchors, gt, im_info, jax.random.PRNGKey(0), batch_rois=256,
+        fg_fraction=0.5, pos_overlap=0.7, neg_overlap=0.3)
+    np.testing.assert_array_equal(np.asarray(g_lab), w_lab)
+    np.testing.assert_allclose(np.asarray(g_iou), w_iou, rtol=1e-5,
+                               atol=1e-6)
+    assert w_iou.max() > 0.7          # the map actually carries signal
+
+
 def test_proposal_layer_matches_reference(ref):
     """End-to-end proposal selection (decode + clip + top-k + NMS + pad)
     on identical random RPN outputs: our batched static-shape formulation
