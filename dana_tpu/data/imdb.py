@@ -80,10 +80,11 @@ def prepare_roidb(ds: imdb):
 
 
 def filter_roidb(roidb):
-    """Drop entries without any foreground box (roidb.py:79-90)."""
-    def is_valid(entry):
-        return (entry['max_overlaps'] >= 0.5).sum() > 0
-    return [e for e in roidb if is_valid(e)]
+    """Drop entries with NO boxes at all (roidb.py:83-87: the filter is
+    `len(boxes) == 0` — an image whose only boxes are crowd regions
+    (overlap -1) is KEPT; the episodic loaders' valid_indices() decide
+    whether it can actually seed an episode)."""
+    return [e for e in roidb if len(e['boxes'])]
 
 
 def rank_roidb_ratio(roidb):

@@ -142,8 +142,14 @@ def ref():
         sys.modules['easydict'] = ed
 
     if 'torchvision' not in sys.modules:       # net_utils imports .models
+        import importlib.machinery as ilm
         tv = types.ModuleType('torchvision')
         tv.models = types.ModuleType('torchvision.models')
+        # a None __spec__ breaks later `import torchvision.x` statements
+        # executed while the parent is already in sys.modules
+        tv.__spec__ = ilm.ModuleSpec('torchvision', None, is_package=True)
+        tv.__path__ = []
+        tv.models.__spec__ = ilm.ModuleSpec('torchvision.models', None)
         sys.modules['torchvision'] = tv
         sys.modules['torchvision.models'] = tv.models
 
@@ -489,6 +495,47 @@ def test_demo_preprocess_matches_reference(ref, monkeypatch):
         np.testing.assert_allclose(g_data[:gh, :gw], q, atol=1e-3,
                                    rtol=0, err_msg=f'{h}x{w}')
         assert np.all(g_data[gh:] == 0) and np.all(g_data[:, gw:] == 0)
+
+
+def test_roidb_rank_filter_match_reference(ref, monkeypatch):
+    """rank_roidb_ratio (aspect clamp [0.5,2] + need_crop + argsort) and
+    filter_roidb (drops only ZERO-box images — crowd-only images with
+    overlap -1 are kept) A/B vs roi_data_layer/roidb.py:49-90."""
+    # roidb.py imports `datasets.factory` (shadowed by the HF datasets
+    # package on sys.path) only for combined_roidb, which we don't call
+    ds_pkg = types.ModuleType('datasets')
+    ds_pkg.__path__ = []
+    fac = types.ModuleType('datasets.factory')
+    fac.get_imdb = None
+    monkeypatch.setitem(sys.modules, 'datasets', ds_pkg)
+    monkeypatch.setitem(sys.modules, 'datasets.factory', fac)
+    from roi_data_layer import roidb as ref_roidb
+
+    from dana_tpu.data import imdb as our_imdb
+
+    rng = np.random.default_rng(47)
+    def mk_roidb():
+        db = []
+        for i in range(12):
+            w, h = int(rng.integers(100, 900)), int(rng.integers(100, 900))
+            nb = int(rng.integers(1, 4))
+            db.append({'width': w, 'height': h,
+                       'boxes': _rand_boxes(rng, nb),
+                       'max_overlaps': np.full(nb, -1.0 if i == 3 else 1.0)})
+        db[5]['boxes'] = np.zeros((0, 4), np.float32)   # zero-box image
+        return db
+
+    a = mk_roidb()
+    want = ref_roidb.filter_roidb([dict(e) for e in a])
+    got = our_imdb.filter_roidb([dict(e) for e in a])
+    assert len(got) == len(want) == 11                  # crowd-only kept
+    w_ratio, w_idx = ref_roidb.rank_roidb_ratio(want)
+    g_ratio, g_idx = our_imdb.rank_roidb_ratio(got)
+    np.testing.assert_array_equal(g_ratio, w_ratio)
+    np.testing.assert_array_equal(g_idx, w_idx)
+    assert [e['need_crop'] for e in got] == \
+        [e['need_crop'] for e in want]
+
 
 
 def test_ds_utils_matches_reference(ref):
