@@ -497,6 +497,66 @@ def test_demo_preprocess_matches_reference(ref, monkeypatch):
         assert np.all(g_data[gh:] == 0) and np.all(g_data[:, gw:] == 0)
 
 
+def test_get_minibatch_matches_reference(ref, monkeypatch, tmp_path):
+    """Minibatch assembly A/B vs roi_data_layer/minibatch.py:22-96 +
+    _get_image_blob: decode -> BGR -> mean-sub -> shortest-side-600 ->
+    blob, gt boxes scaled.  The reference's scipy imread is patched to a
+    lossless cv2-RGB read (PNG) so both sides see identical pixels; our
+    side is driven through the real OracleLoader (bucket canvas, shuffled
+    gt compared as sets)."""
+    import cv2
+    import scipy.misc as sm
+
+    # minibatch.py does `from scipy.misc import imread` at import time
+    monkeypatch.setattr(
+        sm, 'imread',
+        lambda p: cv2.imread(p, cv2.IMREAD_COLOR)[:, :, ::-1],
+        raising=False)
+    from roi_data_layer import minibatch as ref_mb
+    monkeypatch.setattr(
+        ref_mb, 'imread',
+        lambda p: cv2.imread(p, cv2.IMREAD_COLOR)[:, :, ::-1])
+
+    from dana_tpu.data.inference_loader import OracleLoader
+    from dana_tpu.utils.config import cfg as our_cfg
+    from dana_tpu.utils.config import reset_cfg
+    reset_cfg()
+
+    rng = np.random.default_rng(53)
+    h, w = 240, 320
+    img = (rng.random((h, w, 3)) * 255).astype(np.uint8)
+    path = str(tmp_path / 'q.png')
+    cv2.imwrite(path, img)
+
+    boxes = _rand_boxes(rng, 4, hi=200).astype(np.float32)
+    entry = {'image': path, 'width': w, 'height': h, 'img_id': 0,
+             'boxes': boxes,
+             'gt_classes': np.array([1, 2, 1, 3], np.int32),
+             'gt_overlaps': np.ones((4, 4), np.float32),
+             'flipped': False,
+             'max_overlaps': np.ones(4, np.float32)}
+
+    ref.cfg.TRAIN.SCALES = [600]
+    ref.cfg.TRAIN.MAX_SIZE = 1000          # inert: the cap is commented out
+    ref.cfg.TRAIN.BATCH_SIZE = 128
+    ref.cfg.TRAIN.USE_ALL_GT = True
+    want = ref_mb.get_minibatch([dict(entry)])
+
+    loader = OracleLoader([dict(entry)], max_num_box=20)
+    item = loader[0]
+    gh, gw, scale = (int(item['im_info'][0]), int(item['im_info'][1]),
+                     float(item['im_info'][2]))
+
+    assert (gh, gw) == want['data'].shape[1:3]
+    np.testing.assert_allclose(scale, want['im_info'][0, 2], rtol=1e-6)
+    np.testing.assert_allclose(item['im_data'][:gh, :gw], want['data'][0],
+                               atol=1e-3, rtol=0)
+    n = int(item['num_boxes'])
+    got_gt = np.array(sorted(item['gt_boxes'][:n].tolist()))
+    want_gt = np.array(sorted(want['gt_boxes'].tolist()))
+    np.testing.assert_allclose(got_gt, want_gt, rtol=1e-5, atol=1e-4)
+
+
 def test_roidb_rank_filter_match_reference(ref, monkeypatch):
     """rank_roidb_ratio (aspect clamp [0.5,2] + need_crop + argsort) and
     filter_roidb (drops only ZERO-box images — crowd-only images with
