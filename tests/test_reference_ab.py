@@ -290,22 +290,30 @@ def test_smooth_l1_matches_reference(ref):
         np.testing.assert_allclose(got, want, rtol=1e-5)
 
 
-def test_dana_full_forward_matches_reference(ref, monkeypatch):
+@pytest.mark.parametrize('attention_type,se,shot', [
+    ('concat', False, 2),       # the released-checkpoint config
+    ('product', True, 3),       # BA block on + product correlation
+])
+def test_dana_full_forward_matches_reference(ref, monkeypatch,
+                                             attention_type, se, shot):
     """FULL eval forward A/B on the reference's own _DAnARCNN
     (dana.py:87-220): identical weights, identical inputs, backbone
     stubbed to identity on BOTH sides so the comparison covers
-    everything the frameworks own — RPN CISA attention (+PE, unary),
-    concat correlation, RPN heads, proposal selection, RoIAlign
-    pooling (reference side runs the ROIAlign_cuda.cu transcription
-    above), per-RoI CISA attention, transform + FFN scores, and the
-    bbox branch.  Strongest single parity artifact in the suite."""
+    everything the frameworks own — RPN CISA attention (+PE, unary,
+    optional BA semantic-enhance block), concat/product correlation,
+    RPN heads, proposal selection, RoIAlign pooling (reference side
+    runs the ROIAlign_cuda.cu transcription above), per-RoI CISA
+    attention, transform + FFN scores, and the bbox branch.  Strongest
+    single parity artifact in the suite.  (pos_encoding=False is not
+    testable: the reference's else-branch reads the nonexistent
+    self.support_mat, dana.py:130 — latent AttributeError.)"""
     import torch
     from torch import nn
 
     from dana_tpu.models import dana
     from dana_tpu.utils.torch_import import convert_dana_state_dict
 
-    b, fh, fw, c, shot, post = 2, 14, 19, 1024, 2, 50
+    b, fh, fw, c, post = 2, 14, 19, 1024, 50
 
     # --- reference module (identity backbone, mean tail) -------------
     ref.cfg.POOLING_SIZE = 7
@@ -322,8 +330,8 @@ def test_dana_full_forward_matches_reference(ref, monkeypatch):
 
     class TestDana(ref_dana._DAnARCNN):
         def __init__(self):
-            super().__init__(['fg', 'bg'], 'concat', 256, 256, 0.1,
-                             False, n_way=2, n_shot=shot,
+            super().__init__(['fg', 'bg'], attention_type, 256, 256,
+                             0.1, se, n_way=2, n_shot=shot,
                              pos_encoding=True)
             self.RCNN_base = nn.Identity()
             self.RCNN_bbox_pred = nn.Linear(c, 4)
@@ -334,7 +342,7 @@ def test_dana_full_forward_matches_reference(ref, monkeypatch):
     tm = TestDana()
     with torch.no_grad():                 # sharpen the std-0.01 inits so
         for name, p in tm.named_parameters():   # softmaxes aren't flat
-            if 'adapt' in name or 'unary' in name:
+            if 'adapt' in name or 'unary' in name or 'channel_k' in name:
                 p.mul_(10.0)
             elif name == 'RCNN_rpn.RPN_cls_score.weight':
                 # x2 spreads objectness WITHOUT saturating the softmax:
@@ -375,6 +383,7 @@ def test_dana_full_forward_matches_reference(ref, monkeypatch):
 
     config = dana.DanaConfig(
         n_way=2, n_shot=shot, anchor_scales=(8, 16, 32),
+        attention_type=attention_type, semantic_enhance=se, gamma=0.1,
         test_pre_nms=300, test_post_nms=post, nms_cap=300,
         use_pallas_attention=False)
     out = dana.forward(params, config, im, im_info,
