@@ -43,7 +43,13 @@ def _axis_weights(lo, hi, size: int, pooled: int, max_samples: int,
     if sampling_ratio > 0:
         count = jnp.full_like(extent, sampling_ratio)
     else:
-        count = jnp.ceil(extent / pooled)                   # CUDA adaptive
+        # CUDA adaptive ceil(extent/pooled) — but NOT via jnp.ceil of
+        # the division: XLA rewrites /pooled as a reciprocal multiply
+        # and ceil(21 * (1/7)) compiles to ceil(3.0000002) = 4 under
+        # jit.  floor + exact-product correction is rewrite-immune
+        # (q*pooled is exact in f32 at these magnitudes).
+        q = jnp.floor(extent / pooled)
+        count = q + (q * pooled < extent)
     count = jnp.clip(count, 1, max_samples)
 
     p = jnp.arange(pooled, dtype=lo.dtype)                  # [P]

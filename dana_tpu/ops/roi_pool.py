@@ -25,17 +25,25 @@ import jax.numpy as jnp
 
 
 def _axis_masks(lo_r, hi_r, size: int, pooled: int):
-    """[R, pooled, size] boolean bin-membership masks for one axis."""
-    start = jnp.round(lo_r)
-    end = jnp.round(hi_r)
-    extent = jnp.maximum(end - start + 1.0, 1.0)
-    bin_sz = extent / pooled
-    p = jnp.arange(pooled, dtype=lo_r.dtype)
-    b_start = jnp.floor(p[None, :] * bin_sz[:, None]) + start[:, None]
-    b_end = jnp.ceil((p[None, :] + 1.0) * bin_sz[:, None]) + start[:, None]
+    """[R, pooled, size] boolean bin-membership masks for one axis.
+
+    Bin edges are computed in EXACT integer arithmetic: the float
+    formulation floor/ceil(p * extent / pooled) is fragile at integer
+    boundaries — XLA may rewrite the division as a reciprocal multiply,
+    turning e.g. ceil(7 * (6/7)) into ceil(6.0000005) = 7 under jit and
+    silently widening bins (caught by the full-forward RoIPool A/B,
+    tests/test_reference_ab.py)."""
+    start = jnp.round(lo_r).astype(jnp.int32)
+    end = jnp.round(hi_r).astype(jnp.int32)
+    extent = jnp.maximum(end - start + 1, 1)                # [R]
+    p = jnp.arange(pooled, dtype=jnp.int32)
+    scaled = p[None, :] * extent[:, None]                   # [R,P]
+    b_start = scaled // pooled + start[:, None]
+    b_end = (scaled + extent[:, None] + pooled - 1) // pooled \
+        + start[:, None]                                    # ceil-div
     b_start = jnp.clip(b_start, 0, size)
     b_end = jnp.clip(b_end, 0, size)
-    u = jnp.arange(size, dtype=lo_r.dtype)
+    u = jnp.arange(size, dtype=jnp.int32)
     return (u[None, None, :] >= b_start[..., None]) & \
            (u[None, None, :] < b_end[..., None])            # [R,P,size]
 

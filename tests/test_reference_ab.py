@@ -100,6 +100,36 @@ def _roi_align_ref(feat, rois, scale, ph, pw, sampling_ratio):
     return out
 
 
+def _roi_pool_ref(feat, rois, scale, ph, pw):
+    """Transcription of RoIPoolFForward (csrc/cuda/ROIPool_cuda.cu:
+    15-75): ROUNDED roi corners, +1 extents forced >= 1, floor/ceil bin
+    edges, empty bins = 0, argmax for backward."""
+    n, c, height, width = feat.shape
+    r = rois.shape[0]
+    out = np.zeros((r, c, ph, pw), np.float32)
+    argmax = np.full((r, c, ph, pw), -1, np.int32)
+    for ri in range(r):
+        b = int(rois[ri, 0])
+        x1, y1, x2, y2 = [int(round(float(v) * scale))
+                          for v in rois[ri, 1:]]
+        rw, rh = max(x2 - x1 + 1, 1), max(y2 - y1 + 1, 1)
+        bh, bw = rh / ph, rw / pw
+        for py in range(ph):
+            hs = min(max(int(np.floor(py * bh)) + y1, 0), height)
+            he = min(max(int(np.ceil((py + 1) * bh)) + y1, 0), height)
+            for px in range(pw):
+                ws = min(max(int(np.floor(px * bw)) + x1, 0), width)
+                we = min(max(int(np.ceil((px + 1) * bw)) + x1, 0), width)
+                if he <= hs or we <= ws:
+                    continue
+                patch = feat[b, :, hs:he, ws:we].reshape(c, -1)
+                out[ri, :, py, px] = patch.max(1)
+                flat = np.argmax(patch, 1)
+                argmax[ri, :, py, px] = ((hs + flat // (we - ws)) * width
+                                         + ws + flat % (we - ws))
+    return out, argmax
+
+
 @pytest.fixture(scope='module')
 def ref():
     """Import the reference lib with its missing deps stubbed."""
@@ -172,6 +202,14 @@ def ref():
         return torch.from_numpy(out)
 
     fake_c.roi_align_forward = _roi_align_fwd
+
+    def _roi_pool_fwd(feat, rois, scale, ph, pw):
+        out, argmax = _roi_pool_ref(feat.detach().numpy(),
+                                    rois.detach().numpy(), float(scale),
+                                    int(ph), int(pw))
+        return torch.from_numpy(out), torch.from_numpy(argmax)
+
+    fake_c.roi_pool_forward = _roi_pool_fwd
     sys.modules.setdefault('model._C', fake_c)
     import model
     model._C = fake_c
@@ -290,12 +328,14 @@ def test_smooth_l1_matches_reference(ref):
         np.testing.assert_allclose(got, want, rtol=1e-5)
 
 
-@pytest.mark.parametrize('attention_type,se,shot', [
-    ('concat', False, 2),       # the released-checkpoint config
-    ('product', True, 3),       # BA block on + product correlation
+@pytest.mark.parametrize('attention_type,se,shot,pooling', [
+    ('concat', False, 2, 'align'),   # the released-checkpoint config
+    ('product', True, 3, 'align'),   # BA block on + product correlation
+    ('concat', False, 2, 'pool'),    # RoIPool path (ROIPool_cuda.cu)
 ])
 def test_dana_full_forward_matches_reference(ref, monkeypatch,
-                                             attention_type, se, shot):
+                                             attention_type, se, shot,
+                                             pooling):
     """FULL eval forward A/B on the reference's own _DAnARCNN
     (dana.py:87-220): identical weights, identical inputs, backbone
     stubbed to identity on BOTH sides so the comparison covers
@@ -313,11 +353,13 @@ def test_dana_full_forward_matches_reference(ref, monkeypatch,
     from dana_tpu.models import dana
     from dana_tpu.utils.torch_import import convert_dana_state_dict
 
-    b, fh, fw, c, post = 2, 14, 19, 1024, 50
+    # pool arm: our roi_pool chunks rois by 32 — keep post a multiple
+    b, fh, fw, c = 2, 14, 19, 1024
+    post = 32 if pooling == 'pool' else 50
 
     # --- reference module (identity backbone, mean tail) -------------
     ref.cfg.POOLING_SIZE = 7
-    ref.cfg.POOLING_MODE = 'align'
+    ref.cfg.POOLING_MODE = pooling
     ref.cfg.ANCHOR_SCALES = [8, 16, 32]
     ref.cfg.ANCHOR_RATIOS = [0.5, 1, 2]
     ref.cfg.FEAT_STRIDE = [16]
@@ -384,6 +426,7 @@ def test_dana_full_forward_matches_reference(ref, monkeypatch,
     config = dana.DanaConfig(
         n_way=2, n_shot=shot, anchor_scales=(8, 16, 32),
         attention_type=attention_type, semantic_enhance=se, gamma=0.1,
+        pooling_mode=pooling,
         test_pre_nms=300, test_post_nms=post, nms_cap=300,
         use_pallas_attention=False)
     out = dana.forward(params, config, im, im_info,

@@ -116,3 +116,40 @@ def test_roi_pool_small_roi():
     got = np.asarray(roi_pool(jnp.asarray(feat), jnp.asarray(rois), 7, 1 / 16.0,
                               roi_chunk=1))
     np.testing.assert_allclose(got[0, 0], np.broadcast_to(feat[0, 2, 2], (7, 7, 2)))
+
+
+def test_roi_align_adaptive_count_at_integer_boundary():
+    """Rois spanning an EXACT multiple of the pooled size must use
+    ceil(extent/pooled) = extent/pooled samples per bin.  jnp.ceil of
+    the division miscounts under jit: XLA rewrites /pooled into a
+    reciprocal multiply and ceil(21 * (1/7)) -> ceil(3.0000002) = 4,
+    silently changing the sampling grid vs ROIAlign_cuda.cu (regression
+    for the floor+correction fix in ops/roi_align._axis_weights)."""
+    rng = np.random.RandomState(7)
+    H, W, C = 32, 32, 2
+    feat = rng.randn(1, H, W, C).astype(np.float32)
+    # feature-space extents exactly 21 and 14 (scale 1/16)
+    rois = np.array([[0, 16.0, 32.0, 16.0 + 21 * 16, 32.0 + 14 * 16]],
+                    np.float32)[None]
+    got = np.asarray(roi_align(jnp.asarray(feat), jnp.asarray(rois),
+                               7, 1.0 / 16.0, 0))[0, 0]
+    want = roi_align_ref(feat[0], rois[0, 0, 1:], 7, 1.0 / 16.0, 0)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_roi_pool_bin_edges_at_integer_boundary():
+    """RoIPool bin edges are exact integer arithmetic — the float
+    floor/ceil(p*extent/pooled) formulation widened bins under jit
+    (same XLA reciprocal rewrite; caught by the full-forward A/B)."""
+    rng = np.random.RandomState(8)
+    H, W, C = 16, 20, 2
+    feat = rng.randn(1, H, W, C).astype(np.float32)
+    # rounded extent 6 in x: the q=6 bin must be [14, 15), not [14, 16)
+    rois = np.array([[0, 146.072, 65.19, 217.711, 99.577]],
+                    np.float32)[None]
+    got = np.asarray(roi_pool(jnp.asarray(feat), jnp.asarray(rois),
+                              7, 1.0 / 16.0))
+    with jax.disable_jit():
+        want = np.asarray(roi_pool(jnp.asarray(feat), jnp.asarray(rois),
+                                   7, 1.0 / 16.0))
+    np.testing.assert_array_equal(got, want)
