@@ -38,7 +38,11 @@ def _axis_weights_k(lo, hi, size: int, pooled: int, max_samples: int,
     if sampling_ratio > 0:
         count = jnp.full_like(extent, float(sampling_ratio))
     else:
-        count = jnp.ceil(extent / pooled)
+        # floor + exact-product correction, NOT ceil of the division:
+        # the compiler's reciprocal-multiply rewrite makes
+        # ceil(21 * (1/7)) = 4 (see ops/roi_align.py)
+        q = jnp.floor(extent / pooled)
+        count = q + (q * pooled < extent)
     count = jnp.clip(count, 1, max_samples)
 
     rb = lo.shape[0]
