@@ -214,6 +214,10 @@ def _default_cfg() -> AttrDict:
     # setups.
     c.TPU.NMS_MAX_INPUT = 12000
     c.TPU.MESH_DATA_AXIS = 'data'
+    # rematerialize backbone activations in the backward pass
+    # (jax.checkpoint around the trunk): ~1/3 less peak HBM per episodic
+    # batch for one extra forward of conv FLOPs — enables larger bs/chip
+    c.TPU.REMAT_BACKBONE = False
 
     return c
 

@@ -78,3 +78,43 @@ def test_random_init_activations_bounded():
     x = jax.random.normal(jax.random.PRNGKey(0), (1, 128, 160, 3)) * 50
     feat = resnet.base_forward(x, params)
     assert float(jnp.abs(feat).max()) < 1e3
+
+
+def test_remat_backbone_is_numerically_identical():
+    """cfg.TPU.REMAT_BACKBONE wraps the trunk in jax.checkpoint — pure
+    recompute, must not change the step (loss and updated params
+    bit-comparable at f32 tolerance)."""
+    import dataclasses
+
+    import jax
+
+    from dana_tpu.engine import optim, train
+    from dana_tpu.models import dana
+    from dana_tpu.models.layers import to_jnp
+
+    base = dana.DanaConfig(n_way=2, n_shot=1, arch='resnet50',
+                           anchor_scales=(8, 16, 32),
+                           train_pre_nms=300, train_post_nms=32,
+                           nms_cap=300, rois_per_image=32,
+                           use_pallas_attention=False)
+    params = to_jnp(dana.init_params(base, seed=0))
+    batch = {
+        'im_data': jnp.zeros((1, 304, 304, 3)) + 0.3,
+        'im_info': jnp.array([[304.0, 304.0, 1.0]]),
+        'gt_boxes': jnp.array([[[40.0, 50.0, 200.0, 180.0, 1.0]]
+                               + [[0.0] * 5] * 19]),
+        'support_ims': jnp.zeros((1, 2, 224, 224, 3)) + 0.2,
+    }
+    k = jax.random.PRNGKey(3)
+    outs = {}
+    for remat in (False, True):
+        cfgv = dataclasses.replace(base, remat_backbone=remat)
+        state = train.create_train_state(params, 1e-3)
+        step = train.make_train_step(cfgv, optim.trainable_mask(params))
+        new_state, metrics = jax.jit(step)(state, batch, k)
+        outs[remat] = (metrics['loss'], new_state.params)
+    np.testing.assert_allclose(float(outs[False][0]), float(outs[True][0]),
+                               rtol=1e-6)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7),
+        outs[False][1], outs[True][1])

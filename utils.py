@@ -198,6 +198,9 @@ def model_config_kwargs(way, shot, arch='resnet50'):
         # int8 serving mode also routes the RoIAlign matmul onto the
         # int8 MXU (inference only; ops/roi_align.py)
         roi_align_int8=bool(cfg.TPU.QUANT_INT8),
+        # trade one extra backbone forward for ~1/3 less peak HBM
+        # (cfg.TPU.REMAT_BACKBONE; numerically identical — test pinned)
+        remat_backbone=bool(cfg.TPU.REMAT_BACKBONE),
         # bf16 MXU compute with f32 masters (cfg.TPU.COMPUTE_DTYPE;
         # 'float32' restores full-precision numerics for parity runs)
         compute_dtype=_dt_or_none(cfg.TPU.COMPUTE_DTYPE) or jnp.float32,
