@@ -104,6 +104,78 @@ def _matmul_body(wy, wx, f, out_ref):
 @functools.partial(jax.jit, static_argnames=('output_size', 'spatial_scale',
                                              'sampling_ratio',
                                              'max_samples', 'roi_block'))
+def roi_align_pallas_pw(feat, rois, output_size: int = 7,
+                        spatial_scale: float = 1.0 / 16.0,
+                        sampling_ratio: int = 0, max_samples: int = 16,
+                        roi_block: int = 8):
+    """Precomputed-weights Pallas RoIAlign (forward only).
+
+    The docstring's "future work" variant: XLA builds the axis weights
+    (its fused one-hot build beat the in-kernel VPU build 3x), and the
+    kernel keeps ONLY the two matmuls with the [RB,P,W,C] tmp resident
+    in VMEM — the separable formulation's 7x-fewer FLOPs without its
+    215 MB/image HBM intermediate, and without the combined path's
+    [R,P^2,HW] weight operand ever existing.
+
+    Mosaic note: the original attempt passed weights as [B, R, P, H]
+    with (1, RB, P, H) blocks and hit "infer-vector-layout: unsupported
+    shape cast" on the 4D->3D block squeeze.  Flattening (B, R) XLA-side
+    to [B*R, P, H] makes every weight block rank-preserving (RB, P, H)
+    and the kernel lowers cleanly.
+
+    feat [B,H,W,C], rois [B,R,4|5] -> [B,R,P,P,C].
+    """
+    from dana_tpu.ops.roi_align import _axis_weights
+
+    if rois.shape[-1] == 5:
+        rois = rois[..., 1:5]
+    b, h, w, c = feat.shape
+    r = rois.shape[1]
+    pad = (-r) % roi_block
+    if pad:
+        rois = jnp.concatenate(
+            [rois, jnp.zeros((b, pad, 4), rois.dtype)], axis=1)
+    rp = r + pad
+    nblk = rp // roi_block
+    p = output_size
+
+    def weights_one(rs):
+        rs = rs.astype(jnp.float32) * spatial_scale
+        wy = _axis_weights(rs[:, 1], rs[:, 3], h, p, max_samples,
+                           sampling_ratio)                   # [RP,P,H]
+        wx = _axis_weights(rs[:, 0], rs[:, 2], w, p, max_samples,
+                           sampling_ratio)                   # [RP,P,W]
+        return wy, wx
+
+    wy, wx = jax.vmap(weights_one)(rois)                     # [B,RP,P,*]
+    wy = wy.reshape(b * rp, p, h).astype(feat.dtype)
+    wx = wx.reshape(b * rp, p, w).astype(feat.dtype)
+
+    out = pl.pallas_call(
+        _kernel_pw3,
+        grid=(b, nblk),
+        interpret=jax.default_backend() != 'tpu',
+        in_specs=[
+            pl.BlockSpec((roi_block, p, h),
+                         lambda i, j, nblk=nblk: (i * nblk + j, 0, 0)),
+            pl.BlockSpec((roi_block, p, w),
+                         lambda i, j, nblk=nblk: (i * nblk + j, 0, 0)),
+            pl.BlockSpec((1, h, w, c), lambda i, j: (i, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, roi_block, p, p, c),
+                               lambda i, j: (i, j, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, rp, p, p, c), feat.dtype),
+    )(wy, wx, feat)
+    return out[:, :r]
+
+
+def _kernel_pw3(wy_ref, wx_ref, feat_ref, out_ref):
+    _matmul_body(wy_ref[...], wx_ref[...], feat_ref[0], out_ref)
+
+
+@functools.partial(jax.jit, static_argnames=('output_size', 'spatial_scale',
+                                             'sampling_ratio',
+                                             'max_samples', 'roi_block'))
 def roi_align_pallas(feat, rois, output_size: int = 7,
                      spatial_scale: float = 1.0 / 16.0,
                      sampling_ratio: int = 0, max_samples: int = 16,

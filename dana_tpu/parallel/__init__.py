@@ -86,6 +86,24 @@ def shard_batch(batch, mesh: Mesh, axis: str = 'data'):
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 
 
+def shard_query_spatial(im, mesh: Mesh, axis: str = 'model'):
+    """Spatial partitioning (SP): shard the query image's H axis.
+
+    im is [B, H, W, C] (3-channel or s2d-packed 12-channel).  Placing H
+    over a mesh axis makes GSPMD spatially partition every backbone conv
+    — XLA inserts the halo exchanges between neighbour shards
+    automatically, so ONE query image's conv work spreads over the axis.
+    This is the latency lever when a single image's backbone dominates
+    (e.g. bs=1 serving of large queries): unlike TP (which needs wide
+    channel dims to amortize collectives — measured 2.35x dp-only at
+    this model's 2048ch scale, PERF.md), SP splits the spatial extent,
+    which IS large at detection resolutions (608x1024 -> 38x64 at
+    stride 16).  Verified equal to the unsharded forward on the CPU
+    mesh (tests/test_parallel.py).
+    """
+    return jax.device_put(im, NamedSharding(mesh, P('data', axis)))
+
+
 def replicate(tree, mesh: Mesh):
     sharding = NamedSharding(mesh, P())
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
@@ -106,4 +124,4 @@ def shard_state_tp(state, mesh: Mesh):
 
 
 __all__ = ['make_mesh', 'make_mesh_2d', 'shard_params_tp', 'shard_batch',
-           'replicate', 'shard_state_tp']
+           'shard_query_spatial', 'replicate', 'shard_state_tp']

@@ -173,20 +173,31 @@ def main(argv=None):
     # over a (data, model=N) mesh (parallel.shard_params_tp) so EACH
     # query's forward spreads over N chips; combines with --mGPUs for a
     # full dp x tp serving mesh.
+    # --sp N: spatial partitioning — each query image's H axis shards
+    # over the mesh's 'model' axis; GSPMD spatially partitions the
+    # backbone convs and inserts the halo exchanges.  The latency lever
+    # when channel dims are too narrow for TP (parallel.shard_query_spatial).
     eval_mesh = None
     tp = max(1, args.tp)
-    if (args.mGPUs or tp > 1) and len(jax.devices()) > 1:
+    sp = max(1, getattr(args, 'sp', 0))
+    if tp > 1 and sp > 1:
+        raise SystemExit('--tp and --sp both shard the mesh "model" '
+                         'axis — pick one latency mode')
+    if (args.mGPUs or tp > 1 or sp > 1) and len(jax.devices()) > 1:
         from dana_tpu import parallel as par
         if tp > 1:
             eval_mesh = par.make_mesh_2d(model=tp)
             params = par.shard_params_tp(params, eval_mesh)
+        elif sp > 1:
+            eval_mesh = par.make_mesh_2d(model=sp)
+            params = par.replicate(params, eval_mesh)
         else:
             eval_mesh = par.make_mesh()
             params = par.replicate(params, eval_mesh)
         n_data = int(eval_mesh.devices.shape[0])
         eval_bs = max(eval_bs, n_data)
         eval_bs += (-eval_bs) % n_data        # divisible by the data axis
-        print(f'parallel eval: data={n_data} x model={tp} '
+        print(f'parallel eval: data={n_data} x model={tp} x spatial={sp} '
               f'(bs {eval_bs})')
 
         _batch_sharding = jax.sharding.NamedSharding(
@@ -253,7 +264,11 @@ def main(argv=None):
         im_arg = jnp.asarray(batch['im_data'])
         info_arg = jnp.asarray(batch['im_info'])
         if eval_mesh is not None:
-            im_arg = jax.device_put(im_arg, _batch_sharding)
+            if sp > 1:
+                from dana_tpu import parallel as par
+                im_arg = par.shard_query_spatial(im_arg, eval_mesh)
+            else:
+                im_arg = jax.device_put(im_arg, _batch_sharding)
             info_arg = jax.device_put(info_arg, _batch_sharding)
             support_arg = jax.tree.map(
                 lambda x: jax.device_put(x, _batch_sharding),

@@ -131,6 +131,38 @@ def test_inference_cli_tp_matches_single(tmp_path, monkeypatch):
     _assert_detections_match(out1, out2)
 
 
+def test_inference_cli_sp_matches_single(tmp_path, monkeypatch):
+    """--sp 2 spatial-partitioned eval (each query's H axis sharded over
+    the mesh 'model' axis; GSPMD inserts the conv halo exchanges,
+    inference.py --sp) produces the same detections as the
+    single-device run."""
+    import jax
+    if len(jax.devices()) < 4:
+        pytest.skip('needs multi-device CPU platform')
+    monkeypatch.setenv('DANA_SYNTH_ROOT', str(tmp_path / 'synth'))
+
+    import inference as inference_cli
+    out1 = str(tmp_path / 'eval1')
+    inference_cli.main(BASE_ARGS + ['--bs', '4', '--eval_dir', out1])
+    out2 = str(tmp_path / 'eval2')
+    inference_cli.main(BASE_ARGS + ['--bs', '4', '--eval_dir', out2,
+                                    '--sp', '2'])
+    _assert_detections_match(out1, out2)
+
+
+def test_inference_cli_tp_sp_mutually_exclusive(tmp_path, monkeypatch):
+    """--tp and --sp both claim the mesh 'model' axis: combining them
+    must fail loudly, not silently pick one."""
+    import jax
+    if len(jax.devices()) < 4:
+        pytest.skip('needs multi-device CPU platform')
+    monkeypatch.setenv('DANA_SYNTH_ROOT', str(tmp_path / 'synth'))
+    import inference as inference_cli
+    with pytest.raises(SystemExit):
+        inference_cli.main(BASE_ARGS + ['--bs', '4', '--tp', '2',
+                                        '--sp', '2'])
+
+
 def test_inference_cli_tp_int8_combo(tmp_path, monkeypatch):
     """--tp 2 composes with the int8 PTQ serving path (int8 leaves are
     replicated; only f32 'weight' leaves column-shard)."""

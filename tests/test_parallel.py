@@ -193,6 +193,35 @@ def test_sharded_inference_matches_single_device():
                                atol=1e-5)
 
 
+def test_spatial_partitioned_inference_matches_single_device():
+    """SP: the query image's H axis sharded over a (data, model) mesh —
+    GSPMD spatially partitions the backbone convs (halo exchanges
+    inserted by XLA) and the forward equals the unsharded one
+    (parallel.shard_query_spatial, inference.py --sp)."""
+    if len(jax.devices()) < 4:
+        pytest.skip('needs multi-device CPU platform')
+    from dana_tpu import parallel as par
+    params = to_jnp(dana.init_params(CFG, seed=0))
+    batch = _batch(2)
+    out1 = train.predict_step(params, CFG, batch['im_data'],
+                              batch['im_info'],
+                              batch['support_ims'][:, :2])
+    mesh = par.make_mesh_2d(jax.devices()[:4], data=2, model=2)
+    im = par.shard_query_spatial(batch['im_data'], mesh)
+    sharding = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec('data'))
+    info = jax.device_put(batch['im_info'], sharding)
+    sup = jax.device_put(batch['support_ims'][:, :2], sharding)
+    params_r = par.replicate(params, mesh)
+    out2 = train.predict_step(params_r, CFG, im, info, sup)
+    np.testing.assert_allclose(np.asarray(out1['cls_prob']),
+                               np.asarray(out2['cls_prob']), rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out1['rois']),
+                               np.asarray(out2['rois']), rtol=1e-4,
+                               atol=1e-3)
+
+
 def test_quantized_params_replicate_and_forward():
     """int8 serving trees ride the data-parallel eval mesh: int8 leaves
     replicate, and the sharded forward runs (inference.py --mGPUs with

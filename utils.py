@@ -46,6 +46,12 @@ def parse_args(argv=None):
                              'the wide projection weights over a '
                              '(data, model) mesh for latency-mode '
                              'serving; combines with --mGPUs)')
+    parser.add_argument('--sp', dest='sp', default=0, type=int,
+                        help='spatial-partition degree (inference: '
+                             'shards each query image\'s H axis over a '
+                             '(data, model) mesh — GSPMD inserts conv '
+                             'halo exchanges; mutually exclusive with '
+                             '--tp, combines with --mGPUs)')
     parser.add_argument('--bs', dest='batch_size', default=16, type=int)
     parser.add_argument('--start_epoch', default=1, type=int)
     parser.add_argument('--epochs', dest='max_epochs', default=12, type=int)
