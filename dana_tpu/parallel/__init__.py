@@ -101,6 +101,12 @@ def shard_query_spatial(im, mesh: Mesh, axis: str = 'model'):
     stride 16).  Verified equal to the unsharded forward on the CPU
     mesh (tests/test_parallel.py).
     """
+    n = int(mesh.shape[axis])
+    if im.shape[1] % n:
+        raise ValueError(
+            f'spatial sharding needs H % {n} == 0, got H={im.shape[1]} '
+            f'(s2d-packed queries have odd H=H/2+3 and cannot SP-shard — '
+            f'use the direct 3-channel stem under --sp)')
     return jax.device_put(im, NamedSharding(mesh, P('data', axis)))
 
 

@@ -113,7 +113,11 @@ def main(argv=None):
         else args.net
     use_sup_cache = model_name in ('DAnA', 'cisa')
 
-    pack_s2d = bool(cfg.TPU.STEM_S2D) and args.backbone != 'vgg16'
+    # s2d packing maps a canvas H to H/2+3 (blob.s2d_pack) — always odd,
+    # so it can never shard over the --sp spatial axis; SP serving uses
+    # the direct 3-channel stem (canvas heights are multiples of 64).
+    pack_s2d = bool(cfg.TPU.STEM_S2D) and args.backbone != 'vgg16' \
+        and max(1, getattr(args, 'sp', 0)) <= 1
     loader = InferenceLoader(roidb, pool,
                              max_num_box=cfg.MAX_NUM_GT_BOXES,
                              # queries arrive stem-packed [H',W',12] from
