@@ -296,8 +296,16 @@ def query_blob_packed(im, pixel_means, target_size=600, max_size=None,
 
 def support_blob(im, box, pixel_means, out_size=320):
     """Crop a support box, resize long side -> out_size, zero-pad to
-    [out_size, out_size, 3].  Parity: fs_loader.py:103-138 (crop includes
-    the +1 end pixel; cv2 INTER_LINEAR; top-left padding)."""
+    [out_size, out_size, 3] (single resampling pass; crop includes the
+    +1 end pixel; cv2 INTER_LINEAR; top-left padding).
+
+    NOTE: this is the fast *approximation* of fs_loader.py:103-138 — the
+    reference first scales the whole source image (shortest-side-600 via
+    get_minibatch), truncates the scaled box to int16, crops from the
+    SCALED image, and computes the final resize factor from the box
+    extents WITHOUT the +1.  `support_blob_exact` reproduces that
+    pipeline bit-for-bit; cfg.TPU.EXACT_SUPPORT_SCALE picks it (default
+    on — FewShotLoader)."""
     sub = _native.meansub(im, pixel_means)
     im = sub if sub is not None else \
         im.astype(np.float32) - np.asarray(pixel_means, np.float32)
@@ -308,6 +316,43 @@ def support_blob(im, box, pixel_means, out_size=320):
         new_h, new_w = out_size, max(1, int(w * float(out_size) / h))
     else:
         new_h, new_w = max(1, int(h * float(out_size) / w)), out_size
+    crop = cv2.resize(crop, (new_w, new_h), interpolation=cv2.INTER_LINEAR)
+    out = np.zeros((out_size, out_size, 3), np.float32)
+    out[:crop.shape[0], :crop.shape[1]] = crop
+    return out
+
+
+def support_blob_exact(im, box, pixel_means, out_size=320,
+                       target_size=600, max_size=None):
+    """Bit-exact replica of the reference training support crop
+    (fs_loader.py:113-138):
+
+      1. the SOURCE image is run through prep_im_for_blob (mean-sub +
+         shortest-side target_size scaling, long-side cap disabled —
+         exactly `get_minibatch([support_roidb])`),
+      2. the box is scaled by that factor and truncated to int16,
+      3. the crop takes the +1 end pixel,
+      4. the long-side->out_size resize factor uses the box extents
+         WITHOUT the +1 (`box_h = y_max - y_min`), with the strict
+         `box_h > box_w` branch, so the short side lands on
+         int(short * out_size / long) while the long side is pinned to
+         out_size,
+      5. top-left zero-pad onto [out_size, out_size, 3].
+
+    A/B-pinned against the reference's own FewShotLoader in
+    tests/test_reference_ab.py."""
+    im, scale = prep_im_for_blob(im, pixel_means, target_size, max_size)
+    b = (np.asarray(box[:4], np.float32) * np.float32(scale)) \
+        .astype(np.int16)
+    x_min, y_min, x_max, y_max = [int(v) for v in b]
+    box_h, box_w = y_max - y_min, x_max - x_min
+    crop = im[y_min:y_max + 1, x_min:x_max + 1, :]
+    if box_h > box_w:
+        new_h = out_size
+        new_w = max(1, int(box_w * (float(out_size) / float(box_h))))
+    else:
+        new_w = out_size
+        new_h = max(1, int(box_h * (float(out_size) / float(box_w))))
     crop = cv2.resize(crop, (new_w, new_h), interpolation=cv2.INTER_LINEAR)
     out = np.zeros((out_size, out_size, 3), np.float32)
     out[:crop.shape[0], :crop.shape[1]] = crop

@@ -90,6 +90,8 @@ class FewShotLoader:
         # episode prep (~33 of 45 ms on a one-core host, PERF.md r3).
         # FIFO-bounded; cfg.TPU.SUPPORT_CACHE entries (0 disables).
         self._sup_cache = blob.FIFOCache(cfg.TPU.SUPPORT_CACHE)
+        # resolved once so the cache never mixes crop pipelines
+        self.exact_support = bool(cfg.TPU.EXACT_SUPPORT_SCALE)
 
     def _class_has_supports(self, cls: int) -> bool:
         return bool(self.support_db[cls])
@@ -121,8 +123,17 @@ class FewShotLoader:
             return hit
         entry = self.roidb[info['roidb_idx']]
         im = self._read(entry)
-        return self._sup_cache.put(key, blob.support_blob(
-            im, info['box'], self.pixel_means, self.support_size))
+        if self.exact_support:
+            # reference pipeline: scale the source image first, crop the
+            # int16-truncated scaled box, resize by the no-+1 extents
+            # (fs_loader.py:113-138; blob.support_blob_exact docstring)
+            made = blob.support_blob_exact(
+                im, info['box'], self.pixel_means, self.support_size,
+                target_size=self.scale, max_size=self.max_size)
+        else:
+            made = blob.support_blob(
+                im, info['box'], self.pixel_means, self.support_size)
+        return self._sup_cache.put(key, made)
 
     def _sample_supports(self, cls, rng, replace_ok=True):
         pool = self.support_db[cls]

@@ -27,6 +27,22 @@ from dana_tpu.data import blob
 from dana_tpu.data.fs_loader import build_support_db
 
 
+def _crop_support(im, box, pixel_means, support_size):
+    """Roidb box-crop support prep (our extension — the reference's eval
+    supports only ever come from the data/supports directory pool).
+    Uses the SAME pipeline the training FewShotLoader used to build the
+    checkpoint's support distribution: exact reference crop by default
+    (cfg.TPU.EXACT_SUPPORT_SCALE, blob.support_blob_exact)."""
+    from dana_tpu.utils.config import cfg
+    if cfg.TPU.EXACT_SUPPORT_SCALE:
+        return blob.support_blob_exact(
+            im, box, pixel_means, support_size,
+            target_size=cfg.TRAIN.SCALES[0],
+            max_size=None if cfg.TPU.EXACT_QUERY_SCALE
+            else cfg.TRAIN.MAX_SIZE)
+    return blob.support_blob(im, box, pixel_means, support_size)
+
+
 class SupportPool:
     """Fixed per-class support images, seeded like the reference
     (inference_loader.py:61-71: random.seed(epi_random_seed) sample)."""
@@ -70,7 +86,7 @@ class SupportPool:
                 for i in pick:
                     entry = support_roidb[pool[int(i)]['roidb_idx']]
                     im = blob.imread_bgr(entry['image'])
-                    blobs.append(blob.support_blob(
+                    blobs.append(_crop_support(
                         im, pool[int(i)]['box'], self.pixel_means,
                         support_size))
                 self._images[cls_ind] = blobs
@@ -284,7 +300,7 @@ class ResamplingSupportPool:
                 continue
             entry = self.support_roidb[info['roidb_idx']]
             im = blob.imread_bgr(entry['image'])
-            blobs.append(self._cache.put(key, blob.support_blob(
+            blobs.append(self._cache.put(key, _crop_support(
                 im, info['box'], self.pixel_means, self.support_size)))
         return np.stack(blobs)
 

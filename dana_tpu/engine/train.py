@@ -178,5 +178,6 @@ def predict_step(params, config: dana.DanaConfig, im_data, im_info,
 # public surface); re-exported here so engine-level callers and older
 # call sites keep working.
 from dana_tpu.parallel import (make_mesh, make_mesh_2d,  # noqa: F401,E402
-                               replicate, shard_batch, shard_params_tp,
+                               make_mesh_dcn, replicate, shard_batch,
+                               shard_batch_dcn, shard_params_tp,
                                shard_state_tp)

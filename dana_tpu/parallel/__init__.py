@@ -50,6 +50,38 @@ def make_mesh_2d(devices=None, data: int = 0, model: int = 0) -> Mesh:
     return Mesh(np.array(devices).reshape(data, model), ('data', 'model'))
 
 
+def make_mesh_dcn(slices: int, devices=None) -> Mesh:
+    """Two-level data-parallel mesh for multi-slice deployments.
+
+    Axes ('slice', 'data'): 'slice' is the slow DCN-connected axis (one
+    entry per TPU slice), 'data' the fast ICI axis within a slice.
+    Batches shard over BOTH axes (shard_batch_dcn); the gradient
+    all-reduce XLA inserts then decomposes into an intra-slice
+    reduce-scatter/all-gather riding ICI plus one small cross-slice
+    all-reduce riding DCN — the standard two-level DP recipe.  The
+    reference has no cross-host story at all (§2.7: single-process
+    nn.DataParallel); this is the TPU-native scale-out path.
+
+    Devices must be grouped slice-major: jax.devices() already orders
+    by slice for multislice jobs (jax.experimental.mesh_utils.
+    create_hybrid_device_mesh is the general tool for asymmetric
+    topologies); on the CPU test platform any grouping works.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if slices < 1 or n % slices:
+        raise ValueError(f'{slices} slices do not tile {n} devices')
+    return Mesh(np.array(devices).reshape(slices, n // slices),
+                ('slice', 'data'))
+
+
+def shard_batch_dcn(batch, mesh: Mesh):
+    """Batch placement on a ('slice', 'data') mesh: the leading batch
+    axis shards over the flattened slice x data grid."""
+    sharding = NamedSharding(mesh, P(('slice', 'data')))
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
 def _tp_spec(path_str: str, leaf, model_size: int = 2) -> P:
     """PartitionSpec for one param leaf under tensor parallelism.
 
@@ -129,5 +161,6 @@ def shard_state_tp(state, mesh: Mesh):
                           step=jax.device_put(state.step, rep))
 
 
-__all__ = ['make_mesh', 'make_mesh_2d', 'shard_params_tp', 'shard_batch',
-           'shard_query_spatial', 'replicate', 'shard_state_tp']
+__all__ = ['make_mesh', 'make_mesh_2d', 'make_mesh_dcn', 'shard_params_tp',
+           'shard_batch', 'shard_batch_dcn', 'shard_query_spatial',
+           'replicate', 'shard_state_tp']

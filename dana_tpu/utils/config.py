@@ -181,6 +181,12 @@ def _default_cfg() -> AttrDict:
     # py-faster-rcnn scaling using TRAIN/TEST.MAX_SIZE (explicit
     # deviation knob, bounds canvas sizes on memory-tight setups).
     c.TPU.EXACT_QUERY_SCALE = True
+    # Training support crops: True (default) reproduces the reference's
+    # scale-source-then-crop pipeline bit-for-bit (fs_loader.py:113-138;
+    # blob.support_blob_exact — A/B-pinned); False keeps the single-pass
+    # crop-then-resize approximation (one resampling instead of two,
+    # ~same content, off-by-one short-side widths).
+    c.TPU.EXACT_SUPPORT_SCALE = True
     # Host-side 2x2 space-to-depth packing of query/support images for
     # the ResNet stem (blob.s2d_pack -> resnet.conv1_s2d): the direct
     # 7x7/2 conv on 3 channels runs at 1.8% MFU (TPU lanes are 128 wide);

@@ -280,3 +280,39 @@ def test_dtype_knob_rejects_typos():
     assert _dt_or_none('bfloat16') == jnp.bfloat16
     with pytest.raises(ValueError, match='bfloat'):
         _dt_or_none('bfloat')
+
+
+def test_dcn_two_level_mesh_matches_single_device():
+    """Two-level (slice, data) multi-slice DP (parallel.make_mesh_dcn):
+    the batch shards over BOTH axes and the gradient all-reduce
+    decomposes into intra-slice ICI + cross-slice DCN collectives.  On
+    the CPU test platform the axes are virtual; what this pins is that
+    the two-level sharding is exactly full-batch SGD — metrics and
+    updated params equal the single-device step.  The reference has no
+    cross-host training at all (SURVEY §2.7)."""
+    n = min(4, len(jax.devices()))
+    if n < 4:
+        pytest.skip('needs 4 devices for a 2x2 mesh')
+    params = to_jnp(dana.init_params(CFG, seed=0))
+    trainable = optim.trainable_mask(params)
+    step = train.make_train_step(CFG, trainable)
+    batch = _batch(n)
+    rng = jax.random.PRNGKey(0)
+
+    _, m_single = step(train.create_train_state(params, 1e-3), batch, rng)
+
+    mesh = train.make_mesh_dcn(2, jax.devices()[:n])
+    assert mesh.axis_names == ('slice', 'data')
+    assert mesh.devices.shape == (2, n // 2)
+    state = train.replicate(train.create_train_state(params, 1e-3), mesh)
+    sharded = train.shard_batch_dcn(batch, mesh)
+    new_state, m_sharded = step(state, sharded, rng)
+    jax.block_until_ready(new_state.params)
+
+    for k in m_single:
+        np.testing.assert_allclose(float(m_single[k]),
+                                   float(m_sharded[k]), rtol=1e-4,
+                                   atol=1e-5)
+
+    with pytest.raises(ValueError):
+        train.make_mesh_dcn(3, jax.devices()[:4])   # 3 does not tile 4

@@ -1510,3 +1510,175 @@ def test_proposal_layer_matches_reference(ref):
                                    err_msg=f'image {i}')
         assert (rois[i, n:, 1:] == 0).all() and (want[i, n:, 1:] == 0).all()
         assert (rois[i, :, 0] == i).all() and (want[i, :, 0] == i).all()
+
+
+def test_fs_loader_matches_reference(ref, monkeypatch, tmp_path):
+    """FewShotLoader A/B vs roi_data_layer/fs_loader.py:16-330, the
+    episodic TRAINING loader:
+
+      * support DB construction (class buckets, >=64px no-+1 extents,
+        aspect <= 2, non-flipped / non-crowd filters, fs_loader.py:58-78)
+      * the full support crop pipeline — scale source image, truncate the
+        scaled box to int16, crop with the +1 end pixel, resize by the
+        NO-+1 box extents, top-left pad (fs_loader.py:113-138; our
+        blob.support_blob_exact via cfg.TPU.EXACT_SUPPORT_SCALE)
+      * query gt semantics: scaling, positive-class filter + label remap
+        to 1, degenerate-box drop, MAX_NUM_GT_BOXES padding
+        (fs_loader.py:286-315)
+
+    Reference RNG is pinned (random.sample -> first-k, np shuffle no-op)
+    so its picks are deterministic; our loader is driven through its real
+    _support_image path (cache + exact crop) on those picks.  The query
+    CANVAS deliberately differs (reference: per-batch aspect-ratio pad,
+    ours: static buckets) — compared on the real-image region + im_info
+    scale, a documented redesign (docs/PARITY.md)."""
+    import cv2
+    import scipy.misc as sm
+
+    monkeypatch.setattr(
+        sm, 'imread',
+        lambda p: cv2.imread(p, cv2.IMREAD_COLOR)[:, :, ::-1],
+        raising=False)
+    from roi_data_layer import minibatch as ref_mb
+    monkeypatch.setattr(
+        ref_mb, 'imread',
+        lambda p: cv2.imread(p, cv2.IMREAD_COLOR)[:, :, ::-1])
+
+    ds_pkg = types.ModuleType('datasets')
+    ds_pkg.__path__ = []
+    fac = types.ModuleType('datasets.factory')
+    fac.get_imdb = None
+    monkeypatch.setitem(sys.modules, 'datasets', ds_pkg)
+    monkeypatch.setitem(sys.modules, 'datasets.factory', fac)
+    from roi_data_layer import fs_loader as ref_fs
+    from roi_data_layer import roidb as ref_roidb
+
+    # deterministic reference picks: sample -> first-k, gt shuffle no-op
+    monkeypatch.setattr(ref_fs.random, 'sample',
+                        lambda pop, k: list(pop)[:k])
+    monkeypatch.setattr(np.random, 'shuffle', lambda x: None)
+
+    class _Overlaps:                       # sparse-matrix stand-in
+        def __init__(self, a):
+            self._a = np.asarray(a, np.float32)
+
+        def toarray(self):
+            return self._a
+
+    rng = np.random.default_rng(71)
+    num_classes = 4
+
+    def write_img(name, h, w):
+        img = (rng.random((h, w, 3)) * 255).astype(np.uint8)
+        path = str(tmp_path / name)
+        cv2.imwrite(path, img)
+        return path
+
+    def entry(name, h, w, boxes, classes):
+        boxes = np.asarray(boxes, np.float32)
+        classes = np.asarray(classes, np.int32)
+        n = len(classes)
+        return {'image': write_img(name, h, w), 'width': w, 'height': h,
+                'img_id': name, 'boxes': boxes, 'gt_classes': classes,
+                'gt_overlaps': _Overlaps(np.ones((n, num_classes))),
+                'flipped': False, 'max_overlaps': np.ones(n, np.float32)}
+
+    # query: tall (ratio < 1, no crop needed), ONLY class 1 so the
+    # positive pick is forced on both sides; one degenerate box exercises
+    # the keep filter
+    roidb = [
+        entry('q.png', 300, 200,
+              [[10, 20, 120, 150], [30, 180, 150, 260], [5, 5, 5, 40]],
+              [1, 1, 1]),
+        # support sources: class-1 and class-2 boxes passing the >=64px
+        # aspect<=2 filter, plus too-small / too-elongated rejects
+        entry('s1.png', 400, 350,
+              [[10, 20, 150, 130], [200, 40, 330, 260], [2, 2, 30, 30],
+               [0, 0, 300, 80]],
+              [1, 1, 1, 2]),
+        entry('s2.png', 320, 480,
+              [[40, 30, 200, 170], [250, 60, 420, 230],
+               [100, 180, 280, 300]],
+              [2, 3, 2]),
+    ]
+
+    ref.cfg.TRAIN.SCALES = [220]
+    ref.cfg.TRAIN.MAX_SIZE = 4000          # inert: the cap is commented out
+    ref.cfg.TRAIN.USE_ALL_GT = True
+    ref.cfg.MAX_NUM_GT_BOXES = 20
+
+    ref_db = [dict(e) for e in roidb]
+    ratio_list, ratio_index = ref_roidb.rank_roidb_ratio(ref_db)
+    ref_loader = ref_fs.FewShotLoader(
+        ref_db, ratio_list, ratio_index, batch_size=1,
+        num_classes=num_classes, training=True, num_way=2, num_shot=2)
+
+    from dana_tpu.data import fs_loader as our_fs
+    from dana_tpu.utils.config import cfg as our_cfg, reset_cfg
+    reset_cfg()
+    assert our_cfg.TPU.EXACT_SUPPORT_SCALE        # parity default
+    ours = our_fs.FewShotLoader(
+        [dict(e) for e in roidb], num_classes, num_way=2, num_shot=2,
+        max_num_box=20, scale=220)
+
+    # --- support DB: same class buckets, same entries, same order ------
+    for c in range(num_classes):
+        want_db = ref_loader.support_db[c]
+        got_db = ours.support_db[c]
+        assert len(got_db) == len(want_db), f'class {c}'
+        for g, w in zip(got_db, want_db):
+            assert g['roidb_idx'] == w['roidb_idx']
+            np.testing.assert_array_equal(g['box'], w['box'][:4])
+    assert len(ref_loader.support_db[1]) == 4   # small box rejected
+    assert len(ref_loader.support_db[2]) == 2   # elongated box rejected
+
+    # --- reference episode (query index via ratio_index) ---------------
+    q_pos = int(np.where(ratio_index == 0)[0][0])
+    (pad_data, im_info, fs_gt_pad, num_boxes, support_all,
+     gt_pad) = ref_loader[q_pos]
+    pad_data, im_info = np.asarray(pad_data), np.asarray(im_info)
+    fs_gt_pad, gt_pad = np.asarray(fs_gt_pad), np.asarray(gt_pad)
+    support_all = np.asarray(support_all)
+
+    item = ours[0]
+
+    # --- query: scale, real-image region, gt semantics ------------------
+    np.testing.assert_allclose(item['im_info'][2], im_info[2], rtol=1e-6)
+    gh, gw = int(item['im_info'][0]), int(item['im_info'][1])
+    np.testing.assert_allclose(item['im_data'][:gh, :gw],
+                               pad_data.transpose(1, 2, 0)[:gh, :gw],
+                               atol=1e-3, rtol=0)
+    n = int(item['num_boxes'])
+    ref_n = int((np.abs(fs_gt_pad).sum(1) > 0).sum())
+    assert n == ref_n == int(num_boxes) == 2     # degenerate box dropped
+    np.testing.assert_allclose(
+        np.array(sorted(item['gt_boxes'][:n].tolist())),
+        np.array(sorted(fs_gt_pad[:n].tolist())), rtol=1e-5, atol=1e-4)
+    assert (item['gt_boxes'][:n, 4] == 1).all()
+    assert (item['gt_boxes'][n:] == 0).all() and (fs_gt_pad[n:] == 0).all()
+    # all-class gt (reference's 6th output)
+    np.testing.assert_allclose(
+        np.array(sorted(item['all_gt_boxes'][:n].tolist())),
+        np.array(sorted(gt_pad[:n].tolist())), rtol=1e-5, atol=1e-4)
+
+    # --- supports: our real _support_image path on the reference's picks
+    # (sample -> first-k: positives = support_db[1][:2], negatives =
+    # first absent class with supports = class 2's first two)
+    pos_infos = ref_loader.support_db[1][:2]
+    # cls_in_query holds torch scalar tensors; replicate the reference's
+    # membership test to derive its negative class
+    neg_cls = next(c for c in range(1, num_classes)
+                   if c not in (1,) and ref_loader.support_db[c])
+    neg_infos = ref_loader.support_db[neg_cls][:2]
+    item_rng = np.random.default_rng(0)
+    for i, info in enumerate(pos_infos + neg_infos):
+        got = ours._support_image(
+            {'roidb_idx': info['roidb_idx'],
+             'box': np.asarray(info['box'][:4], np.float32)}, item_rng)
+        want = support_all[i].transpose(1, 2, 0)
+        np.testing.assert_allclose(got, want, atol=1e-3, rtol=0,
+                                   err_msg=f'support {i}')
+        assert got.shape == (320, 320, 3)
+        # same crop: bit-identical non-zero footprint
+        np.testing.assert_array_equal(np.abs(got).sum(-1) > 1e-6,
+                                      np.abs(want).sum(-1) > 1e-6)

@@ -149,7 +149,16 @@ def main(argv=None):
         print('restored optimizer state (momentum velocity)')
 
     mesh = None
-    if args.mGPUs and len(jax.devices()) > 1:
+    slices = max(0, getattr(args, 'slices', 0))
+    if slices > 1 and len(jax.devices()) > 1:
+        # two-level DP: batch shards over (slice x data); the gradient
+        # all-reduce decomposes into ICI intra-slice + DCN cross-slice
+        # (parallel.make_mesh_dcn)
+        mesh = train_engine.make_mesh_dcn(slices)
+        state = train_engine.replicate(state, mesh)
+        print(f'multi-slice data-parallel: {slices} slices x '
+              f'{mesh.devices.shape[1]} devices')
+    elif args.mGPUs and len(jax.devices()) > 1:
         mesh = train_engine.make_mesh()
         state = train_engine.replicate(state, mesh)
         print(f'data-parallel over {len(jax.devices())} devices')

@@ -52,6 +52,12 @@ def parse_args(argv=None):
                              '(data, model) mesh — GSPMD inserts conv '
                              'halo exchanges; mutually exclusive with '
                              '--tp, combines with --mGPUs)')
+    parser.add_argument('--slices', dest='slices', default=0, type=int,
+                        help='multi-slice data parallelism (train: '
+                             'shards the batch over a two-level '
+                             '(slice, data) mesh — cross-slice gradient '
+                             'all-reduce rides DCN, intra-slice ICI; '
+                             'implies --mGPUs semantics)')
     parser.add_argument('--bs', dest='batch_size', default=16, type=int)
     parser.add_argument('--start_epoch', default=1, type=int)
     parser.add_argument('--epochs', dest='max_epochs', default=12, type=int)
