@@ -58,7 +58,13 @@ class CocoFormatDataset(imdb):
 
     def _load_annotation(self, index):
         """COCO anns -> roidb entry; crowd boxes get all-(-1) overlap rows
-        (coco_split.py:165-221)."""
+        (coco_split.py:165-221).
+
+        Box coordinates are TRUNCATED to integers: the reference stores
+        the sanitized boxes in a uint16 array (coco_split.py:190), so
+        fractional COCO bbox coords floor.  We keep float32 storage but
+        apply the same truncation (A/B-pinned,
+        test_coco_split_roidb_matches_reference)."""
         im_ann = self._COCO.loadImgs(index)[0]
         width, height = im_ann['width'], im_ann['height']
         objs = self._COCO.loadAnns(self._COCO.getAnnIds(imgIds=index))
@@ -80,7 +86,7 @@ class CocoFormatDataset(imdb):
                       for c in self._classes[1:]}
         for ix, (obj, bb) in enumerate(valid):
             cls = cat_to_ind[obj['category_id']]
-            boxes[ix] = bb
+            boxes[ix] = np.asarray(bb, np.float64).astype(np.uint16)
             gt_classes[ix] = cls
             seg_areas[ix] = obj.get('area', 0.0)
             if obj.get('iscrowd', 0):
