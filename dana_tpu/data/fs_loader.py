@@ -127,9 +127,14 @@ class FewShotLoader:
             # reference pipeline: scale the source image first, crop the
             # int16-truncated scaled box, resize by the no-+1 extents
             # (fs_loader.py:113-138; blob.support_blob_exact docstring)
+            # max_size=None unconditionally: the reference's
+            # prep_im_for_blob never applies the long-side cap (it is
+            # commented out at blob.py:46-47), regardless of the
+            # query-scale mode — coupling this to EXACT_QUERY_SCALE
+            # would silently break the bit-for-bit claim (advisor r3)
             made = blob.support_blob_exact(
                 im, info['box'], self.pixel_means, self.support_size,
-                target_size=self.scale, max_size=self.max_size)
+                target_size=self.scale, max_size=None)
         else:
             made = blob.support_blob(
                 im, info['box'], self.pixel_means, self.support_size)
@@ -275,12 +280,25 @@ class EpisodicBatcher:
     background-thread prefetch."""
 
     def __init__(self, loader: FewShotLoader, batch_size, shuffle=True,
-                 seed=0, drop_last=True):
+                 seed=0, drop_last=True, process_id=0, process_count=1):
+        """batch_size is the GLOBAL batch.  Under a multi-process runtime
+        (jax.distributed; parallel.distributed) pass this process's rank
+        and the process count: the batch index sequence is
+        seed-deterministic and identical on every process, and each
+        process materializes (decodes, crops) ONLY its contiguous row
+        block [rank*B/P, (rank+1)*B/P) of every batch — together the
+        ranks reconstruct exactly the single-process batches."""
+        if batch_size % max(1, process_count):
+            raise ValueError(
+                f'global batch {batch_size} must divide evenly over '
+                f'{process_count} processes')
         self.loader = loader
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.seed = seed
         self.drop_last = drop_last
+        self.process_id = process_id
+        self.process_count = max(1, process_count)
         self._epoch = 0
 
     def _index_batches(self):
@@ -309,8 +327,10 @@ class EpisodicBatcher:
 
     def __iter__(self):
         self._epoch += 1
+        per = self.batch_size // self.process_count
+        lo = self.process_id * per
         for batch_idx in self._index_batches():
-            items = [self.loader[i] for i in batch_idx]
+            items = [self.loader[i] for i in batch_idx[lo:lo + per]]
             yield {k: np.stack([it[k] for it in items]) for k in items[0]}
 
     def __len__(self):

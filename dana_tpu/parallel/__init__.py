@@ -78,6 +78,10 @@ def make_mesh_dcn(slices: int, devices=None) -> Mesh:
 def shard_batch_dcn(batch, mesh: Mesh):
     """Batch placement on a ('slice', 'data') mesh: the leading batch
     axis shards over the flattened slice x data grid."""
+    if jax.process_count() > 1:
+        from dana_tpu.parallel import distributed
+        return distributed.shard_batch_local(batch, mesh,
+                                             P(('slice', 'data')))
     sharding = NamedSharding(mesh, P(('slice', 'data')))
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 
@@ -113,7 +117,24 @@ def shard_params_tp(params, mesh: Mesh):
 
 
 def shard_batch(batch, mesh: Mesh, axis: str = 'data'):
-    """Place a host batch with leading batch axis sharded over the mesh."""
+    """Place a host batch with leading batch axis sharded over the mesh.
+
+    On a two-level ('slice', 'data') DCN mesh the batch must shard over
+    BOTH axes — sharding over 'data' alone would replicate the batch
+    across slices and multi-slice DP would silently compute identical
+    gradients everywhere — so dispatch on the mesh's axis names.
+
+    Under a multi-process runtime (jax.distributed, multi-host pods)
+    `batch` holds only this process's row block and the global array is
+    assembled via make_array_from_process_local_data — device_put of a
+    host-global array only works when ONE process addresses every
+    device (parallel.distributed).
+    """
+    if 'slice' in mesh.axis_names and axis == 'data':
+        return shard_batch_dcn(batch, mesh)
+    if jax.process_count() > 1:
+        from dana_tpu.parallel import distributed
+        return distributed.shard_batch_local(batch, mesh, P(axis))
     sharding = NamedSharding(mesh, P(axis))
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 

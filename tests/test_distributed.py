@@ -1,0 +1,125 @@
+"""Multi-process (multi-host) execution path.
+
+The reference has no cross-host story at all (single-process
+nn.DataParallel, reference train.py:104-105); SURVEY §2.7 names DCN
+scale-out as its TPU-native replacement.  These tests prove the
+process-level half: a REAL 2-process x 4-CPU-device run (subprocess
+pair, gloo collectives, coordinator on localhost) where each process
+loads only its batch rows, assembles global arrays via
+make_array_from_process_local_data, and reproduces the single-process
+8-device train step bit-for-bit at equal global batch.
+"""
+
+import json
+import os
+import os.path as osp
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+ROOT = osp.dirname(osp.dirname(osp.abspath(__file__)))
+HARNESS = osp.join(ROOT, 'tools', 'dist_train_check.py')
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(('localhost', 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _run_harness(extra, timeout=1500):
+    env = dict(os.environ)
+    env.pop('XLA_FLAGS', None)          # harness sets its own device count
+    return subprocess.Popen(
+        [sys.executable, HARNESS] + extra,
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        cwd=ROOT, text=True)
+
+
+@pytest.mark.slow
+def test_two_process_step_matches_single_process(tmp_path):
+    """2 processes x 4 devices (gloo) == 1 process x 8 devices: same
+    global batch, same loss metrics, same updated params."""
+    port = _free_port()
+    out_pair = str(tmp_path / 'pair.json')
+    out_single = str(tmp_path / 'single.json')
+
+    procs = [
+        _run_harness(['--procs', '2', '--rank', str(r),
+                      '--coordinator', f'localhost:{port}',
+                      '--local_devices', '4',
+                      '--out', out_pair])
+        for r in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        stdout, _ = p.communicate(timeout=1500)
+        outs.append(stdout)
+        assert p.returncode == 0, f'rank failed:\n{stdout[-4000:]}'
+    assert osp.exists(out_pair), f'rank 0 wrote nothing:\n{outs[0][-2000:]}'
+
+    p = _run_harness(['--procs', '1', '--local_devices', '8',
+                      '--out', out_single])
+    stdout, _ = p.communicate(timeout=1500)
+    assert p.returncode == 0, f'single-process run failed:\n{stdout[-4000:]}'
+
+    with open(out_pair) as f:
+        pair = json.load(f)
+    with open(out_single) as f:
+        single = json.load(f)
+    assert set(pair['metrics']) == set(single['metrics'])
+    for k in single['metrics']:
+        np.testing.assert_allclose(
+            pair['metrics'][k], single['metrics'][k], rtol=1e-4,
+            atol=1e-5, err_msg=f'metric {k} diverged across process '
+                               f'topologies')
+    np.testing.assert_allclose(pair['param_abs_sum'],
+                               single['param_abs_sum'], rtol=1e-6)
+
+
+def test_local_rows_partition():
+    """local_rows tiles the global batch exactly: contiguous, disjoint,
+    rank-ordered, covering."""
+    from dana_tpu.parallel.distributed import local_rows
+    got = [local_rows(8, process_id=r, process_count=2) for r in (0, 1)]
+    assert got == [slice(0, 4), slice(4, 8)]
+    covered = np.concatenate([np.arange(8)[s] for s in got])
+    np.testing.assert_array_equal(covered, np.arange(8))
+    with pytest.raises(ValueError, match='divide evenly'):
+        local_rows(7, process_id=0, process_count=2)
+
+
+def test_episodic_batcher_process_slices_reassemble():
+    """Per-rank EpisodicBatcher slices concatenate (in rank order) to
+    exactly the single-process batches — the loader-side contract the
+    distributed path rests on."""
+    from dana_tpu.data.fs_loader import EpisodicBatcher
+
+    class FakeLoader:
+        def __init__(self, n):
+            self.n = n
+
+        def valid_indices(self):
+            return list(range(self.n))
+
+        def bucket_of(self, i):
+            return 0
+
+        def __getitem__(self, i):
+            return {'x': np.full((2, 2), i, np.float32)}
+
+    single = list(EpisodicBatcher(FakeLoader(16), 4, seed=3))
+    ranks = [list(EpisodicBatcher(FakeLoader(16), 4, seed=3,
+                                  process_id=r, process_count=2))
+             for r in (0, 1)]
+    assert len(single) == len(ranks[0]) == len(ranks[1])
+    for sb, r0, r1 in zip(single, *ranks):
+        np.testing.assert_array_equal(
+            sb['x'], np.concatenate([r0['x'], r1['x']]))
+    with pytest.raises(ValueError, match='divide evenly'):
+        EpisodicBatcher(FakeLoader(16), 5, process_count=2)

@@ -316,3 +316,28 @@ def test_dcn_two_level_mesh_matches_single_device():
 
     with pytest.raises(ValueError):
         train.make_mesh_dcn(3, jax.devices()[:4])   # 3 does not tile 4
+
+
+def test_shard_batch_dispatches_on_dcn_mesh():
+    """train.py's batch loop calls shard_batch(b, mesh) regardless of
+    mesh kind; on a ('slice', 'data') mesh that MUST shard the batch
+    over both axes (advisor r3, high).  Sharding over 'data' alone
+    would replicate the batch per slice and multi-slice DP would
+    silently compute identical gradients on every slice.  Pin the
+    per-device shard shape: global batch 8 over a 2x2 mesh -> 2/device."""
+    n = min(4, len(jax.devices()))
+    if n < 4:
+        pytest.skip('needs 4 devices for a 2x2 mesh')
+    mesh = train.make_mesh_dcn(2, jax.devices()[:n])
+    batch = {'x': np.arange(8 * 3, dtype=np.float32).reshape(8, 3)}
+    sharded = train.shard_batch(batch, mesh)          # the train.py call
+    x = sharded['x']
+    assert x.shape == (8, 3)
+    shard_rows = {s.data.shape[0] for s in x.addressable_shards}
+    assert shard_rows == {8 // n}, (
+        f'batch must shard over slice x data, got per-device rows '
+        f'{shard_rows}')
+    # and the flat 1-D mesh path is unchanged
+    mesh1 = train.make_mesh(jax.devices()[:n])
+    y = train.shard_batch(batch, mesh1)['x']
+    assert {s.data.shape[0] for s in y.addressable_shards} == {8 // n}

@@ -64,6 +64,18 @@ def main(argv=None):
     np.random.seed(args.seed)
 
     import jax
+
+    if args.dist:
+        # multi-host pods: every host runs this CLI; initialize joins
+        # them into one runtime BEFORE the first backend query
+        from dana_tpu.parallel.distributed import init_distributed
+        init_distributed(args.coordinator, args.num_procs, args.proc_id)
+        print(f'distributed: process {jax.process_index()}/'
+              f'{jax.process_count()}, '
+              f'{len(jax.local_devices())} local devices '
+              f'of {len(jax.devices())}', flush=True)
+    is_chief = jax.process_index() == 0
+
     import jax.numpy as jnp
     from dana_tpu.data.imdb import combined_roidb
     from dana_tpu.data.fs_loader import (FewShotLoader, EpisodicBatcher,
@@ -95,8 +107,12 @@ def main(argv=None):
                                num_shot=args.shot,
                                max_num_box=cfg.MAX_NUM_GT_BOXES,
                                seed=args.seed)
+    # under --dist each process materializes only its row block of every
+    # (seed-deterministic, identical-on-all-ranks) global batch
     batcher = EpisodicBatcher(loader, args.batch_size, shuffle=True,
-                              seed=args.seed)
+                              seed=args.seed,
+                              process_id=jax.process_index(),
+                              process_count=jax.process_count())
 
     config, params = get_model(args.net, way=args.way, shot=args.shot,
                                net=args.backbone, seed=args.seed)
@@ -162,9 +178,13 @@ def main(argv=None):
         mesh = train_engine.make_mesh()
         state = train_engine.replicate(state, mesh)
         print(f'data-parallel over {len(jax.devices())} devices')
+    if jax.process_count() > 1 and mesh is None:
+        raise ValueError('--dist requires --mGPUs or --slices N: a '
+                         'multi-process batch must shard over a device '
+                         'mesh spanning all processes')
 
     logger = None
-    if not args.dlog:
+    if not args.dlog and is_chief:
         from dana_tpu.utils.fsod_logger import FSODLogger
         logger = FSODLogger(os.path.join(args.save_dir, 'tb'))
 
@@ -286,13 +306,15 @@ def main(argv=None):
             # genuine completed-epoch checkpoint with the same indices
             base, ext = os.path.splitext(path)
             path = f'{base}_preempt{ext}'
-        host_state = jax.device_get(state)
-        path = ckpt_lib.save_checkpoint(
-            path, host_state.params, host_state.opt, epoch=ckpt_epoch,
-            step=steps - 1, lr=lr,
-            pooling_mode=cfg.POOLING_MODE, backend=args.ckpt_backend)
-        print(f'[epoch {epoch:2d}] saved {path} '
-              f'({time.time() - t0:.1f}s, {steps} iters)')
+        if is_chief:
+            # params are replicated: rank 0 alone writes the checkpoint
+            host_state = jax.device_get(state)
+            path = ckpt_lib.save_checkpoint(
+                path, host_state.params, host_state.opt, epoch=ckpt_epoch,
+                step=steps - 1, lr=lr,
+                pooling_mode=cfg.POOLING_MODE, backend=args.ckpt_backend)
+            print(f'[epoch {epoch:2d}] saved {path} '
+                  f'({time.time() - t0:.1f}s, {steps} iters)')
         if guard.requested:
             # beyond the reference, which loses everything since its
             # last per-epoch save (train.py:183-189)

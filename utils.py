@@ -96,6 +96,18 @@ def parse_args(argv=None):
     parser.add_argument('--profile', default=None, type=str,
                         help='capture a jax.profiler trace into this dir '
                              '(steps 3-8 of the run)')
+    parser.add_argument('--dist', action='store_true', default=False,
+                        help='join a multi-process jax.distributed '
+                             'runtime (multi-host pod slices; each '
+                             'process loads only its batch rows — '
+                             'dana_tpu.parallel.distributed)')
+    parser.add_argument('--coordinator', default=None, type=str,
+                        help='--dist coordinator host:port (omit on TPU '
+                             'pods: auto-detected from the environment)')
+    parser.add_argument('--num_procs', default=None, type=int,
+                        help='--dist process count (omit on TPU pods)')
+    parser.add_argument('--proc_id', default=None, type=int,
+                        help='--dist process rank (omit on TPU pods)')
     parser.add_argument('--set', dest='set_cfgs_extra', nargs='*',
                         default=None,
                         help='extra config overrides: KEY VALUE ...')
