@@ -340,7 +340,14 @@ def support_blob_exact(im, box, pixel_means, out_size=320,
       5. top-left zero-pad onto [out_size, out_size, 3].
 
     A/B-pinned against the reference's own FewShotLoader in
-    tests/test_reference_ab.py."""
+    tests/test_reference_ab.py.
+
+    Deliberate deviation: the short-side resize extent is clamped to
+    `max(1, ...)` where the reference has no clamp — a zero-size result
+    makes the reference's cv2.resize raise.  Unreachable for training
+    supports (the support DB filters to >=64px boxes, aspect<=2) but
+    reachable via inference_loader._crop_support's arbitrary roidb
+    boxes; the clamp only fires where the reference would crash."""
     im, scale = prep_im_for_blob(im, pixel_means, target_size, max_size)
     b = (np.asarray(box[:4], np.float32) * np.float32(scale)) \
         .astype(np.int16)

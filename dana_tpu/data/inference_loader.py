@@ -35,11 +35,13 @@ def _crop_support(im, box, pixel_means, support_size):
     (cfg.TPU.EXACT_SUPPORT_SCALE, blob.support_blob_exact)."""
     from dana_tpu.utils.config import cfg
     if cfg.TPU.EXACT_SUPPORT_SCALE:
+        # max_size=None unconditionally: the reference's support-source
+        # scaling never applies the long-side cap (prep_im_for_blob's
+        # cap is commented out, reference blob.py:46-47) — independent
+        # of the query-scale mode (advisor r3)
         return blob.support_blob_exact(
             im, box, pixel_means, support_size,
-            target_size=cfg.TRAIN.SCALES[0],
-            max_size=None if cfg.TPU.EXACT_QUERY_SCALE
-            else cfg.TRAIN.MAX_SIZE)
+            target_size=cfg.TRAIN.SCALES[0], max_size=None)
     return blob.support_blob(im, box, pixel_means, support_size)
 
 
