@@ -39,7 +39,10 @@ from dana_tpu.models.layers import to_jnp
 
 
 def main(epochs=20, train_name='synth_train', test_name='synth_test',
-         arch='resnet50', dtype='f32'):
+         arch='resnet50', dtype='f32', seed=0):
+    """`seed` varies EVERYTHING stochastic: param init, the episodic
+    support draws, and the per-step PRNG stream — so a seed sweep
+    (tools/seed_sweep.py) measures genuine run-to-run variance."""
     imdb_tr, roidb_tr, _, _ = combined_roidb(train_name, training=False,
                                              use_flipped=False)
     # dtype='bf16': the production mixed-precision recipe — bf16 trunk,
@@ -51,16 +54,16 @@ def main(epochs=20, train_name='synth_train', test_name='synth_test',
         n_way=2, n_shot=2, arch=arch, anchor_scales=(4, 8, 16, 32),
         train_pre_nms=600, train_post_nms=128, test_pre_nms=600,
         test_post_nms=64, nms_cap=600, rois_per_image=32, **dt)
-    params = to_jnp(dana.init_params(config, seed=0))
+    params = to_jnp(dana.init_params(config, seed=seed))
     trainable = optim.trainable_mask(params)
     state = te.create_train_state(params, 2e-3)
 
     # stage 2 episode variants per image (different support draws)
     t0 = time.time()
     stacks = []
-    for seed in (7, 8):
+    for ep_seed in (7 + 1000 * seed, 8 + 1000 * seed):
         loader = FewShotLoader(roidb_tr, imdb_tr.num_classes, num_way=2,
-                               num_shot=2, seed=seed)
+                               num_shot=2, seed=ep_seed)
         eps = [loader[i] for i in range(len(roidb_tr))]
         stacks.append({k: np.stack([e[k] for e in eps])
                        for k in ('im_data', 'im_info', 'gt_boxes',
@@ -110,7 +113,7 @@ def main(epochs=20, train_name='synth_train', test_name='synth_test',
         return st, losses.mean()
 
     batches = jax.device_put(batches)
-    rng = jax.random.PRNGKey(0)
+    rng = jax.random.PRNGKey(seed)
     t0 = time.time()
     from dana_tpu.utils import checkpoint as ck
     for e in range(epochs):
