@@ -103,11 +103,12 @@ def _matmul_body(wy, wx, f, out_ref):
 
 @functools.partial(jax.jit, static_argnames=('output_size', 'spatial_scale',
                                              'sampling_ratio',
-                                             'max_samples', 'roi_block'))
+                                             'max_samples', 'roi_block',
+                                             'pooled_pad'))
 def roi_align_pallas_pw(feat, rois, output_size: int = 7,
                         spatial_scale: float = 1.0 / 16.0,
                         sampling_ratio: int = 0, max_samples: int = 16,
-                        roi_block: int = 8):
+                        roi_block: int = 8, pooled_pad: int = 8):
     """Precomputed-weights Pallas RoIAlign (forward only).
 
     The docstring's "future work" variant: XLA builds the axis weights
@@ -117,11 +118,17 @@ def roi_align_pallas_pw(feat, rois, output_size: int = 7,
     215 MB/image HBM intermediate, and without the combined path's
     [R,P^2,HW] weight operand ever existing.
 
-    Mosaic note: the original attempt passed weights as [B, R, P, H]
-    with (1, RB, P, H) blocks and hit "infer-vector-layout: unsupported
-    shape cast" on the 4D->3D block squeeze.  Flattening (B, R) XLA-side
-    to [B*R, P, H] makes every weight block rank-preserving (RB, P, H)
-    and the kernel lowers cleanly.
+    Mosaic notes (two lowering hazards found empirically):
+    - the original attempt passed weights as [B, R, P, H] with
+      (1, RB, P, H) blocks and hit "infer-vector-layout: unsupported
+      shape cast" on the 4D->3D block squeeze.  Flattening (B, R)
+      XLA-side to [B*R, P, H] makes every weight block rank-preserving.
+    - the kernel's first dot_general collapses (RB, P) -> RB*P on its
+      LHS; with P=7 that is vector<8x7x38xbf16> -> vector<56x38xbf16>,
+      which Mosaic rejects (7 is not sublane-aligned).  The pooled axis
+      is therefore zero-padded to `pooled_pad`=8 XLA-side (8x8x38 ->
+      64x38 lowers cleanly); the pad rows multiply through as zeros and
+      are sliced off the output.
 
     feat [B,H,W,C], rois [B,R,4|5] -> [B,R,P,P,C].
     """
@@ -138,6 +145,7 @@ def roi_align_pallas_pw(feat, rois, output_size: int = 7,
     rp = r + pad
     nblk = rp // roi_block
     p = output_size
+    pp = max(pooled_pad, p)
 
     def weights_one(rs):
         rs = rs.astype(jnp.float32) * spatial_scale
@@ -148,25 +156,30 @@ def roi_align_pallas_pw(feat, rois, output_size: int = 7,
         return wy, wx
 
     wy, wx = jax.vmap(weights_one)(rois)                     # [B,RP,P,*]
-    wy = wy.reshape(b * rp, p, h).astype(feat.dtype)
-    wx = wx.reshape(b * rp, p, w).astype(feat.dtype)
+    if pp > p:
+        wy = jnp.concatenate(
+            [wy, jnp.zeros((b, rp, pp - p, h), wy.dtype)], axis=2)
+        wx = jnp.concatenate(
+            [wx, jnp.zeros((b, rp, pp - p, w), wx.dtype)], axis=2)
+    wy = wy.reshape(b * rp, pp, h).astype(feat.dtype)
+    wx = wx.reshape(b * rp, pp, w).astype(feat.dtype)
 
     out = pl.pallas_call(
         _kernel_pw3,
         grid=(b, nblk),
         interpret=jax.default_backend() != 'tpu',
         in_specs=[
-            pl.BlockSpec((roi_block, p, h),
+            pl.BlockSpec((roi_block, pp, h),
                          lambda i, j, nblk=nblk: (i * nblk + j, 0, 0)),
-            pl.BlockSpec((roi_block, p, w),
+            pl.BlockSpec((roi_block, pp, w),
                          lambda i, j, nblk=nblk: (i * nblk + j, 0, 0)),
             pl.BlockSpec((1, h, w, c), lambda i, j: (i, 0, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, roi_block, p, p, c),
+        out_specs=pl.BlockSpec((1, roi_block, pp, pp, c),
                                lambda i, j: (i, j, 0, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, rp, p, p, c), feat.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, rp, pp, pp, c), feat.dtype),
     )(wy, wx, feat)
-    return out[:, :r]
+    return out[:, :r, :p, :p]
 
 
 def _kernel_pw3(wy_ref, wx_ref, feat_ref, out_ref):
