@@ -364,3 +364,37 @@ def support_blob_exact(im, box, pixel_means, out_size=320,
     out = np.zeros((out_size, out_size, 3), np.float32)
     out[:crop.shape[0], :crop.shape[1]] = crop
     return out
+
+
+def support_blob_whole(im, pixel_means, out_size=320):
+    """Bit-exact replica of the reference's WHOLE-IMAGE support prep —
+    the directory-pool path used at eval time (inference_loader.py:95-109,
+    same code in multiway/finetune/allcls loaders and utils.py
+    support_im_preprocess):
+
+      1. prep_im_for_blob with target_size = min(h, w): scale is exactly
+         1.0 (the long-side cap is commented out in the reference), so
+         this is mean-subtraction plus an identity cv2.resize,
+      2. the long side is resized to out_size with the STRICT `_h > _w`
+         branch (square images take the else arm) and the short side to
+         int(short * (float(out_size) / float(long))) — the reference
+         computes the ratio FIRST, so the expression order is replicated
+         for int-truncation boundary cases,
+      3. top-left zero-pad onto [out_size, out_size, 3].
+
+    A/B-pinned against the reference's own InferenceLoader in
+    tests/test_reference_ab.py."""
+    im, _ = prep_im_for_blob(im, pixel_means,
+                             int(np.min(im.shape[:2])), None)
+    h, w = im.shape[:2]
+    if h > w:
+        resize_scale = float(out_size) / float(h)
+        im = cv2.resize(im, (int(w * resize_scale), out_size),
+                        interpolation=cv2.INTER_LINEAR)
+    else:
+        resize_scale = float(out_size) / float(w)
+        im = cv2.resize(im, (out_size, int(h * resize_scale)),
+                        interpolation=cv2.INTER_LINEAR)
+    out = np.zeros((out_size, out_size, 3), np.float32)
+    out[:im.shape[0], :im.shape[1]] = im
+    return out

@@ -267,10 +267,11 @@ class FinetuneLoader(FewShotLoader):
                 out.append(hit)
                 continue
             im = blob.imread_bgr(path)
-            h, w = im.shape[:2]
-            out.append(self._sup_cache.put(path, blob.support_blob(
-                im, [0, 0, w - 1, h - 1], self.pixel_means,
-                self.support_size)))
+            # whole-image prep, bit-exact vs the reference's directory
+            # pool path (finetune_loader.py:110-123 — same code as
+            # inference_loader.py:95-109; blob.support_blob_whole)
+            out.append(self._sup_cache.put(path, blob.support_blob_whole(
+                im, self.pixel_means, self.support_size)))
         return out
 
 

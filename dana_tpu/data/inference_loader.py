@@ -60,22 +60,38 @@ class SupportPool:
         self._images = {}          # cls index -> [support blob arrays]
         rng = np.random.default_rng(seed)
         if support_dir and osp.isdir(support_dir):
+            import random as _pyrandom
+            from pathlib import Path
             for cls_ind, name in enumerate(classes):
                 if name == '__background__':
                     continue
-                files = sorted(glob.glob(osp.join(support_dir, name, '*')))
+                # exact reference selection (inference_loader.py:61-71):
+                # Path.glob('*.jpg') listing, random.seed(epi_random_seed)
+                # REAPPLIED PER CLASS, stdlib random.sample — on the same
+                # directory this picks the identical support files.
+                # Random(seed) == (random.seed(seed); random.sample(...))
+                # without mutating global RNG state.
+                files = [str(p)
+                         for p in Path(osp.join(support_dir, name))
+                         .glob('*.jpg')]
+                if not files:    # our extension: any-extension fallback
+                    files = sorted(
+                        glob.glob(osp.join(support_dir, name, '*')))
                 if not files:
                     continue
-                pick = rng.choice(len(files), num_shot,
-                                  replace=len(files) < num_shot)
-                blobs = []
-                for i in pick:
-                    im = blob.imread_bgr(files[int(i)])
-                    h, w = im.shape[:2]
-                    blobs.append(blob.support_blob(
-                        im, [0, 0, w - 1, h - 1], self.pixel_means,
-                        support_size))
-                self._images[cls_ind] = blobs
+                if len(files) >= num_shot:
+                    picks = _pyrandom.Random(seed).sample(files,
+                                                          k=num_shot)
+                else:
+                    # reference random.sample would raise; sample with
+                    # replacement instead (documented deviation)
+                    pick = rng.choice(len(files), num_shot, replace=True)
+                    picks = [files[int(i)] for i in pick]
+                self._images[cls_ind] = [
+                    blob.support_blob_whole(blob.imread_bgr(p),
+                                            self.pixel_means,
+                                            support_size)
+                    for p in picks]
         elif support_roidb is not None:
             db = build_support_db(support_roidb, len(classes))
             for cls_ind in range(1, len(classes)):

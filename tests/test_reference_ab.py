@@ -2326,3 +2326,149 @@ def test_coco_split_results_writer_and_eval_match_reference(
                                rtol=1e-6, atol=1e-9)
     # non-vacuous: a real AP, not an all-empty -1 vector
     assert ref_eval.stats[1] > 0.01
+
+
+def test_inference_loader_matches_reference(ref, monkeypatch, tmp_path):
+    """InferenceLoader A/B vs roi_data_layer/inference_loader.py:23-115,
+    the EVAL-time episodic loader driving the published protocol
+    (epi_random_seed=0, reference inference.py:82):
+
+      * support FILE SELECTION — Path.glob('*.jpg') listing with
+        random.seed(epi_random_seed) re-applied PER CLASS + stdlib
+        random.sample (inference_loader.py:61-71).  Our SupportPool
+        replicates it via random.Random(seed).sample on the same glob,
+        so on the same directory the identical files are picked.
+      * support WHOLE-IMAGE prep — mean-sub at scale 1.0, strict
+        `_h > _w` long-side-320 resize with the reference's
+        ratio-expression order, top-left zero-pad
+        (inference_loader.py:95-109; blob.support_blob_whole).
+        Boundary shapes included: square (else-branch), extreme aspect,
+        and sizes near int-truncation edges.
+      * query semantics — get_minibatch blob + scaled gt, target class =
+        gt_boxes[0][4] (inference_loader.py:92-93).  The query CANVAS
+        deliberately differs (static buckets vs as-is), compared on the
+        real-image region + im_info, like the FewShotLoader A/B.
+    """
+    import cv2
+    import scipy.misc as sm
+
+    monkeypatch.setattr(
+        sm, 'imread',
+        lambda p: cv2.imread(p, cv2.IMREAD_COLOR)[:, :, ::-1],
+        raising=False)
+    from roi_data_layer import minibatch as ref_mb
+    monkeypatch.setattr(
+        ref_mb, 'imread',
+        lambda p: cv2.imread(p, cv2.IMREAD_COLOR)[:, :, ::-1])
+
+    ds_pkg = types.ModuleType('datasets')
+    ds_pkg.__path__ = []
+    fac = types.ModuleType('datasets.factory')
+    fac.get_imdb = None
+    monkeypatch.setitem(sys.modules, 'datasets', ds_pkg)
+    monkeypatch.setitem(sys.modules, 'datasets.factory', fac)
+    if 'pycocotools' not in sys.modules:   # imported, never used here
+        pc = types.ModuleType('pycocotools')
+        pcc = types.ModuleType('pycocotools.coco')
+        pcc.COCO = type('COCO', (), {})
+        pc.coco = pcc
+        monkeypatch.setitem(sys.modules, 'pycocotools', pc)
+        monkeypatch.setitem(sys.modules, 'pycocotools.coco', pcc)
+    from roi_data_layer import inference_loader as ref_il
+    monkeypatch.setattr(
+        ref_il, 'imread',
+        lambda p: cv2.imread(p, cv2.IMREAD_COLOR)[:, :, ::-1])
+
+    rng = np.random.default_rng(113)
+    classes = ('__background__', 'alpha', 'beta')
+
+    # support pool: per-class jpgs at parity-hostile shapes — square
+    # (strict-> vs >= branch), extreme aspect, truncation-boundary sizes
+    sup_dir = tmp_path / 'supports'
+    shapes = [(200, 200), (37, 321), (213, 99), (107, 160), (99, 213),
+              (320, 107)]
+    for name in classes[1:]:
+        d = sup_dir / name
+        d.mkdir(parents=True)
+        for k, (h, w) in enumerate(shapes):
+            img = (rng.random((h, w, 3)) * 255).astype(np.uint8)
+            assert cv2.imwrite(str(d / f's{k}.jpg'), img)
+
+    def write_img(name, h, w):
+        img = (rng.random((h, w, 3)) * 255).astype(np.uint8)
+        path = str(tmp_path / name)
+        assert cv2.imwrite(path, img)
+        return path
+
+    class _Overlaps:
+        def __init__(self, a):
+            self._a = np.asarray(a, np.float32)
+
+        def toarray(self):
+            return self._a
+
+    def entry(name, h, w, boxes, cls_list):
+        boxes = np.asarray(boxes, np.float32)
+        cls_arr = np.asarray(cls_list, np.int32)
+        n = len(cls_list)
+        return {'image': write_img(name, h, w), 'width': w, 'height': h,
+                'img_id': name, 'boxes': boxes, 'gt_classes': cls_arr,
+                'gt_overlaps': _Overlaps(np.ones((n, len(classes)))),
+                'flipped': False, 'need_crop': 0,
+                'max_overlaps': np.ones(n, np.float32)}
+
+    roidb = [
+        entry('iq0.png', 240, 330, [[12, 25, 140, 160]], [1]),
+        entry('iq1.png', 310, 190, [[30, 40, 120, 260], [5, 8, 60, 70]],
+              [2, 2]),
+    ]
+
+    ref.cfg.TRAIN.SCALES = [220]
+    ref.cfg.TRAIN.MAX_SIZE = 4000
+    ref.cfg.TRAIN.USE_ALL_GT = True
+    ref.cfg.MAX_NUM_GT_BOXES = 20
+    ref.cfg.TRAIN.BATCH_SIZE = 128
+
+    shot = 3
+    imdb_stub = types.SimpleNamespace(classes=classes)
+    ref_loader = ref_il.InferenceLoader(
+        0, imdb_stub, [dict(e) for e in roidb],
+        np.ones(len(roidb)), np.arange(len(roidb)),
+        str(sup_dir), batch_size=1, num_classes=len(classes),
+        num_shot=shot, training=False)
+
+    from dana_tpu.data.inference_loader import InferenceLoader, SupportPool
+    from dana_tpu.utils.config import cfg as our_cfg, reset_cfg
+    reset_cfg()
+    our_cfg.TRAIN.SCALES = [220]
+    our_cfg.TEST.SCALES = [220]
+    our_cfg.TPU.SHIP_UINT8 = False
+    pool = SupportPool(classes, shot, support_dir=str(sup_dir), seed=0)
+    ours = InferenceLoader([dict(e) for e in roidb], pool)
+
+    for i in range(len(roidb)):
+        r_data, r_info, r_gt, r_nb, r_sup = ref_loader[i]
+        item = ours[i]
+
+        # target class + support stack (identical files, identical prep)
+        assert int(item['target_cls']) == int(r_gt[0][4])
+        got_sup = item['support_ims'].transpose(0, 3, 1, 2)
+        np.testing.assert_allclose(got_sup, r_sup.numpy(), atol=1e-3,
+                                   rtol=0, err_msg=f'supports item {i}')
+
+        # query: real-image region of the bucket canvas == as-is blob
+        r_im = r_data.numpy().transpose(1, 2, 0)          # [H, W, 3]
+        h, w = r_im.shape[:2]
+        np.testing.assert_allclose(item['im_data'][:h, :w], r_im,
+                                   atol=1e-3, rtol=0)
+        assert np.abs(item['im_data'][h:]).max(initial=0.0) == 0.0
+        assert np.abs(item['im_data'][:, w:]).max(initial=0.0) == 0.0
+        np.testing.assert_allclose(float(item['im_info'][2]),
+                                   float(r_info[2]), rtol=1e-6)
+
+        # gt boxes: scaled, unpadded prefix matches
+        n = int(r_nb)
+        assert int(item['num_boxes']) == n
+        np.testing.assert_allclose(item['gt_boxes'][:n], r_gt.numpy()[:n],
+                                   rtol=1e-5, atol=1e-4)
+        assert np.all(item['gt_boxes'][n:] == 0)

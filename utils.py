@@ -276,11 +276,11 @@ def NMS(boxes, scores):
 
 
 def support_im_preprocess(im, cfg, support_size=320, n_of_shot=1):
-    """BGR mean-sub 320-canvas support blob (reference utils.py:207-227)."""
+    """BGR mean-sub 320-canvas support blob (reference utils.py:207-227) —
+    bit-exact whole-image prep (blob.support_blob_whole: strict h>w
+    branch, reference ratio-expression order)."""
     from dana_tpu.data import blob
-    h, w = im.shape[:2]
-    sup = blob.support_blob(im, [0, 0, w - 1, h - 1], cfg.PIXEL_MEANS,
-                            support_size)
+    sup = blob.support_blob_whole(im, cfg.PIXEL_MEANS, support_size)
     return np.tile(sup[None], (n_of_shot, 1, 1, 1))
 
 
