@@ -193,6 +193,15 @@ def main():
     train_metrics = _bench_train(
         config, params,
         batch=int(os.environ.get('BENCH_TRAIN_BATCH', '4')), steps=8)
+    # throughput-optimal batch alongside the reference bs=4 protocol:
+    # the batch-scaling study (PERF.md round 4, tools/train_batch_study)
+    # put the knee at bs8 (+16% episodes/s; bs16/32 regress)
+    bs_opt = int(os.environ.get('BENCH_TRAIN_BATCH_OPT', '8'))
+    opt_metrics = _bench_train(config, params, batch=bs_opt, steps=4)
+    train_metrics[f'train_episodes_per_sec_bs{bs_opt}'] = \
+        opt_metrics['train_episodes_per_sec_per_chip']
+    train_metrics[f'train_step_mfu_bs{bs_opt}_pct'] = \
+        opt_metrics['train_step_mfu_pct']
 
     out = {
         'metric': 'dana_r50_2way3shot_query_imgs_per_sec_per_chip',

@@ -14,10 +14,16 @@ rules, +1-free roi edges).
 STATUS — measured on v5e at eval shapes ([8,38,50,1024] bf16, 300 rois):
 XLA separable 5.4 ms, XLA combined-weights 4.05 ms, this kernel 11.95 ms.
 The in-kernel one-hot weight construction ([RB,P,S,size] comparisons on
-the VPU per grid step) dominates and loses to XLA's fused build.  Kept
-as a working reference implementation; ops/roi_align.py's combined path
-is the production route (future work: precompute axis weights with XLA,
-pass [R,P,H]/[R,P,W] into the kernel and keep only the two matmuls).
+the VPU per grid step) dominates and loses to XLA's fused build.  The
+"future work" variant below (roi_align_pallas_pw: XLA-precomputed axis
+weights, kernel keeps only the two VMEM-resident matmuls) was built and
+measured in round 4: 9.6 ms at roi_block=8, and larger blocks cannot
+compile (the f32 [RB,P,W,C] stage-1 tmp exceeds VMEM at RB=16) — the
+6x-fewer-FLOP separable geometry loses to lane-pad waste (K=38 vs 1900)
+and half-idle systolic rows (M=64/step).  Both kernels are kept as
+working reference implementations with the measured-negative writeup in
+PERF.md ("RoIAlign locality blocking"); ops/roi_align.py's dense
+combined path is the production route.
 """
 
 from __future__ import annotations
