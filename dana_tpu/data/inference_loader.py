@@ -250,24 +250,47 @@ class OracleLoader(GeneralTestLoader):
 
 
 class MultiwayLoader(InferenceLoader):
-    """n-way eval (multiway_loader.py:88-129): stacks way*shot supports —
-    classes present in the query first, padded with absent classes."""
+    """n-way eval (multiway_loader.py:88-129): stacks way*shot supports.
 
-    def __init__(self, roidb, pool, num_way=5, **kw):
+    Way selection replicates the reference exactly
+    (multiway_loader.py:88-105): the present-class list is
+    `list(set(...))` (LITERALLY — the same CPython set iteration order
+    the reference sees for the same class ids); more present classes
+    than ways -> seeded random.sample of num_way of them; otherwise the
+    negative pad ways are a seeded random.sample of the absent classes.
+    `random.seed(epi_random_seed)` is re-applied per item in the
+    reference, so random.Random(epi_seed) per draw is equivalent."""
+
+    def __init__(self, roidb, pool, num_way=5, epi_seed=0, **kw):
         super().__init__(roidb, pool, **kw)
         self.num_way = num_way
+        self.epi_seed = epi_seed
         # __getitem__ always replaces support_ims with the n-way stack;
         # skip the parent's single-class assembly
         self.skip_supports = True
 
+    def _select_ways(self, gt_classes):
+        import random as _pyrandom
+        present = list(set(int(c) for c in gt_classes if int(c) != 0))
+        if len(present) > self.num_way:
+            return _pyrandom.Random(self.epi_seed).sample(
+                present, k=self.num_way)
+        # reference: every non-bg class is a negative candidate (its
+        # directory pool covers all classes or raises at init); classes
+        # without supports here would crash pool.get below just as the
+        # reference would — restrict to available ones only when some
+        # classes genuinely have no pool (our synthetic-data extension)
+        avail = self.pool.classes_available()
+        other = [c for c in avail if c not in present]
+        ways = list(present)
+        ways.extend(_pyrandom.Random(self.epi_seed).sample(
+            other, k=min(self.num_way - len(present), len(other))))
+        return ways
+
     def __getitem__(self, index):
         item = super().__getitem__(index)
         entry = self.roidb[index]
-        present = sorted({int(c) for c in entry['gt_classes'] if c != 0
-                          and int(c) in self.pool._images})
-        absent = [c for c in self.pool.classes_available()
-                  if c not in present]
-        ways = (present + absent)[:self.num_way]
+        ways = self._select_ways(entry['gt_classes'])
         sup = np.stack([self.pool.get(c) for c in ways])  # [way,shot,S,S,3]
         item['support_ims'] = sup.reshape(-1, *sup.shape[2:])
         item['selected_ways'] = np.array(ways, np.int32)

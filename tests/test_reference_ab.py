@@ -2472,3 +2472,123 @@ def test_inference_loader_matches_reference(ref, monkeypatch, tmp_path):
         np.testing.assert_allclose(item['gt_boxes'][:n], r_gt.numpy()[:n],
                                    rtol=1e-5, atol=1e-4)
         assert np.all(item['gt_boxes'][n:] == 0)
+
+
+def test_multiway_loader_matches_reference(ref, monkeypatch, tmp_path):
+    """MultiwayLoader A/B vs roi_data_layer/multiway_loader.py:22-133 —
+    the n-way eval protocol behind the multiway results:
+
+      * WAY SELECTION (multiway_loader.py:88-105): present classes as
+        list(set(...)) (same CPython iteration order both sides);
+        overflow -> random.seed(epi_random_seed)+random.sample of
+        num_way; otherwise negatives padded by a seeded sample of the
+        absent classes.  Both branches exercised.
+      * way*shot support STACK (same whole-image prep + per-class
+        seeded file picks as the InferenceLoader arm), slot-for-slot.
+    """
+    import cv2
+    import scipy.misc as sm
+
+    monkeypatch.setattr(
+        sm, 'imread',
+        lambda p: cv2.imread(p, cv2.IMREAD_COLOR)[:, :, ::-1],
+        raising=False)
+    from roi_data_layer import minibatch as ref_mb
+    monkeypatch.setattr(
+        ref_mb, 'imread',
+        lambda p: cv2.imread(p, cv2.IMREAD_COLOR)[:, :, ::-1])
+    ds_pkg = types.ModuleType('datasets')
+    ds_pkg.__path__ = []
+    fac = types.ModuleType('datasets.factory')
+    fac.get_imdb = None
+    monkeypatch.setitem(sys.modules, 'datasets', ds_pkg)
+    monkeypatch.setitem(sys.modules, 'datasets.factory', fac)
+    if 'pycocotools' not in sys.modules:
+        pc = types.ModuleType('pycocotools')
+        pcc = types.ModuleType('pycocotools.coco')
+        pcc.COCO = type('COCO', (), {})
+        pc.coco = pcc
+        monkeypatch.setitem(sys.modules, 'pycocotools', pc)
+        monkeypatch.setitem(sys.modules, 'pycocotools.coco', pcc)
+    from roi_data_layer import multiway_loader as ref_mw
+    monkeypatch.setattr(
+        ref_mw, 'imread',
+        lambda p: cv2.imread(p, cv2.IMREAD_COLOR)[:, :, ::-1])
+
+    rng = np.random.default_rng(211)
+    classes = ('__background__', 'c1', 'c2', 'c3', 'c4', 'c5', 'c6')
+
+    sup_dir = tmp_path / 'supports'
+    for name in classes[1:]:
+        d = sup_dir / name
+        d.mkdir(parents=True)
+        for k in range(4):
+            h, w = int(rng.integers(80, 260)), int(rng.integers(80, 260))
+            img = (rng.random((h, w, 3)) * 255).astype(np.uint8)
+            assert cv2.imwrite(str(d / f's{k}.jpg'), img)
+
+    def write_img(name, h, w):
+        img = (rng.random((h, w, 3)) * 255).astype(np.uint8)
+        path = str(tmp_path / name)
+        assert cv2.imwrite(path, img)
+        return path
+
+    class _Overlaps:
+        def __init__(self, a):
+            self._a = np.asarray(a, np.float32)
+
+        def toarray(self):
+            return self._a
+
+    def entry(name, h, w, boxes, cls_list):
+        n = len(cls_list)
+        return {'image': write_img(name, h, w), 'width': w, 'height': h,
+                'img_id': name,
+                'boxes': np.asarray(boxes, np.float32),
+                'gt_classes': np.asarray(cls_list, np.int32),
+                'gt_overlaps': _Overlaps(np.ones((n, len(classes)))),
+                'flipped': False, 'need_crop': 0,
+                'max_overlaps': np.ones(n, np.float32)}
+
+    # item 0: 2 present classes < num_way=3 -> seeded negative padding;
+    # item 1: 4 present classes > num_way=3 -> seeded subsample
+    roidb = [
+        entry('mq0.png', 200, 260,
+              [[10, 10, 90, 80], [100, 40, 180, 150]], [2, 5]),
+        entry('mq1.png', 260, 200,
+              [[5, 5, 60, 60], [70, 10, 130, 90], [10, 100, 80, 170],
+               [90, 110, 170, 190]], [1, 3, 4, 6]),
+    ]
+
+    ref.cfg.TRAIN.SCALES = [220]
+    ref.cfg.TRAIN.MAX_SIZE = 4000
+    ref.cfg.TRAIN.USE_ALL_GT = True
+    ref.cfg.MAX_NUM_GT_BOXES = 20
+    ref.cfg.TRAIN.BATCH_SIZE = 128
+
+    shot, way, epi_seed = 2, 3, 7
+    imdb_stub = types.SimpleNamespace(classes=classes)
+    ref_loader = ref_mw.MultiwayLoader(
+        epi_seed, imdb_stub, [dict(e) for e in roidb],
+        np.ones(len(roidb)), np.arange(len(roidb)), str(sup_dir),
+        batch_size=1, num_classes=len(classes), num_shot=shot,
+        training=False, num_way=way)
+
+    from dana_tpu.data.inference_loader import MultiwayLoader, SupportPool
+    from dana_tpu.utils.config import cfg as our_cfg, reset_cfg
+    reset_cfg()
+    our_cfg.TRAIN.SCALES = [220]
+    our_cfg.TEST.SCALES = [220]
+    our_cfg.TPU.SHIP_UINT8 = False
+    pool = SupportPool(classes, shot, support_dir=str(sup_dir),
+                       seed=epi_seed)
+    ours = MultiwayLoader([dict(e) for e in roidb], pool, num_way=way,
+                          epi_seed=epi_seed)
+
+    for i in range(len(roidb)):
+        _, _, _, _, r_sup, r_ways = ref_loader[i]
+        item = ours[i]
+        assert list(item['selected_ways']) == list(r_ways), f'item {i}'
+        got = item['support_ims'].transpose(0, 3, 1, 2)  # [way*shot,3,S,S]
+        np.testing.assert_allclose(got, r_sup.numpy(), atol=1e-3, rtol=0,
+                                   err_msg=f'support stack item {i}')
