@@ -347,18 +347,73 @@ class ResamplingSupportPool:
 
 
 class ALLCLSFSLoader(InferenceLoader):
-    """Per-item random support resample (allcls_fs_loader.py:103-108).
+    """Per-item random support resample (allcls_fs_loader.py:66-115).
 
-    Unlike a naive per-item SupportPool rebuild (num_classes x shot image
-    decodes per query), only the target class's `shot` supports are
-    decoded, via ResamplingSupportPool."""
+    Directory mode (`support_dir`) replicates the reference exactly:
+      * support candidates = Path.glob('*.jpg') per class dir, ALL paths
+        kept (no init-time subsample, allcls_fs_loader.py:53-60),
+      * target class = random.seed(0) + random.sample(k=1) over the
+        query's classes in first-appearance gt order
+        (allcls_fs_loader.py:87-92),
+      * per item: random.seed(index) + random.sample(paths, k=shot)
+        (allcls_fs_loader.py:107-108), whole-image prep
+        (blob.support_blob_whole).
 
-    def __init__(self, roidb, support_roidb, classes, num_shot,
-                 seed=0, **kw):
-        pool = ResamplingSupportPool(classes, num_shot,
-                                     support_roidb=support_roidb, seed=seed)
+    Crop mode (`support_roidb`, our extension for directory-less
+    datasets) resamples box crops via ResamplingSupportPool — only the
+    target class's `shot` supports are decoded per item, not the
+    num_classes x shot grid."""
+
+    def __init__(self, roidb, support_roidb=None, classes=None,
+                 num_shot=5, seed=0, support_dir=None, **kw):
+        self._paths = None
+        if support_dir is not None:
+            from pathlib import Path
+            self._paths = {}
+            for cls_ind, name in enumerate(classes):
+                if name == '__background__':
+                    continue
+                files = [str(p)
+                         for p in Path(osp.join(support_dir, name))
+                         .glob('*.jpg')]
+                if files:
+                    self._paths[cls_ind] = files
+            pool = None
+        else:
+            pool = ResamplingSupportPool(classes, num_shot,
+                                         support_roidb=support_roidb,
+                                         seed=seed)
+        self.num_shot = num_shot
         super().__init__(roidb, pool, **kw)
+        if self._paths is not None:
+            self.skip_supports = True    # assembled in __getitem__
+
+    def target_class(self, index):
+        if self._paths is None:
+            return super().target_class(index)
+        # reference: seeded k=1 sample over first-appearance class order
+        import random as _pyrandom
+        seen = []
+        for c in self.roidb[index]['gt_classes']:
+            if int(c) and int(c) not in seen:
+                seen.append(int(c))
+        return int(_pyrandom.Random(0).sample(seen, k=1)[0])
 
     def __getitem__(self, index):
-        self.pool.reseed(index)   # fresh, deterministic sample per item
-        return super().__getitem__(index)
+        if self._paths is None:
+            self.pool.reseed(index)   # fresh, deterministic per item
+            return super().__getitem__(index)
+        import random as _pyrandom
+        item = super().__getitem__(index)
+        cls = int(item['target_cls'])
+        picks = _pyrandom.Random(index).sample(
+            self._paths[cls], k=self.num_shot)
+        item['support_ims'] = np.stack([
+            blob.support_blob_whole(blob.imread_bgr(p), self.pixel_means,
+                                    self.pool_support_size)
+            for p in picks])
+        return item
+
+    @property
+    def pool_support_size(self):
+        return self.pool.support_size if self.pool is not None else 320

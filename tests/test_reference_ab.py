@@ -2592,3 +2592,115 @@ def test_multiway_loader_matches_reference(ref, monkeypatch, tmp_path):
         got = item['support_ims'].transpose(0, 3, 1, 2)  # [way*shot,3,S,S]
         np.testing.assert_allclose(got, r_sup.numpy(), atol=1e-3, rtol=0,
                                    err_msg=f'support stack item {i}')
+
+
+def test_allcls_loader_matches_reference(ref, monkeypatch, tmp_path):
+    """ALLCLSFSLoader A/B vs roi_data_layer/allcls_fs_loader.py:66-115
+    (directory mode): target class = random.seed(0)+sample(k=1) over the
+    query's first-appearance class order; per-item supports =
+    random.seed(index)+sample(paths, k=shot) over the FULL per-class
+    jpg listing; whole-image prep.  Pins class pick, file picks (via
+    pixels) and the support stack for every item."""
+    import cv2
+    import scipy.misc as sm
+
+    monkeypatch.setattr(
+        sm, 'imread',
+        lambda p: cv2.imread(p, cv2.IMREAD_COLOR)[:, :, ::-1],
+        raising=False)
+    from roi_data_layer import minibatch as ref_mb
+    monkeypatch.setattr(
+        ref_mb, 'imread',
+        lambda p: cv2.imread(p, cv2.IMREAD_COLOR)[:, :, ::-1])
+    ds_pkg = types.ModuleType('datasets')
+    ds_pkg.__path__ = []
+    fac = types.ModuleType('datasets.factory')
+    fac.get_imdb = None
+    monkeypatch.setitem(sys.modules, 'datasets', ds_pkg)
+    monkeypatch.setitem(sys.modules, 'datasets.factory', fac)
+    if 'pycocotools' not in sys.modules:
+        pc = types.ModuleType('pycocotools')
+        pcc = types.ModuleType('pycocotools.coco')
+        pcc.COCO = type('COCO', (), {})
+        pc.coco = pcc
+        monkeypatch.setitem(sys.modules, 'pycocotools', pc)
+        monkeypatch.setitem(sys.modules, 'pycocotools.coco', pcc)
+    from roi_data_layer import allcls_fs_loader as ref_ac
+    monkeypatch.setattr(
+        ref_ac, 'imread',
+        lambda p: cv2.imread(p, cv2.IMREAD_COLOR)[:, :, ::-1])
+
+    rng = np.random.default_rng(307)
+    classes = ('__background__', 'k1', 'k2', 'k3')
+
+    sup_dir = tmp_path / 'supports'
+    for name in classes[1:]:
+        d = sup_dir / name
+        d.mkdir(parents=True)
+        for k in range(5):
+            h, w = int(rng.integers(90, 240)), int(rng.integers(90, 240))
+            img = (rng.random((h, w, 3)) * 255).astype(np.uint8)
+            assert cv2.imwrite(str(d / f's{k}.jpg'), img)
+
+    def write_img(name, h, w):
+        img = (rng.random((h, w, 3)) * 255).astype(np.uint8)
+        path = str(tmp_path / name)
+        assert cv2.imwrite(path, img)
+        return path
+
+    class _Overlaps:
+        def __init__(self, a):
+            self._a = np.asarray(a, np.float32)
+
+        def toarray(self):
+            return self._a
+
+    def entry(name, h, w, boxes, cls_list):
+        n = len(cls_list)
+        return {'image': write_img(name, h, w), 'width': w, 'height': h,
+                'img_id': name,
+                'boxes': np.asarray(boxes, np.float32),
+                'gt_classes': np.asarray(cls_list, np.int32),
+                'gt_overlaps': _Overlaps(np.ones((n, len(classes)))),
+                'flipped': False, 'need_crop': 0,
+                'max_overlaps': np.ones(n, np.float32)}
+
+    # multi-class queries so the seeded class pick is non-trivial
+    roidb = [
+        entry('aq0.png', 220, 260,
+              [[10, 10, 90, 80], [100, 40, 180, 150], [20, 120, 80, 200]],
+              [3, 1, 2]),
+        entry('aq1.png', 260, 220,
+              [[5, 5, 60, 60], [70, 10, 130, 90]], [2, 3]),
+    ]
+
+    ref.cfg.TRAIN.SCALES = [220]
+    ref.cfg.TRAIN.MAX_SIZE = 4000
+    ref.cfg.TRAIN.USE_ALL_GT = True
+    ref.cfg.MAX_NUM_GT_BOXES = 20
+    ref.cfg.TRAIN.BATCH_SIZE = 128
+
+    shot = 2
+    imdb_stub = types.SimpleNamespace(classes=classes)
+    ref_loader = ref_ac.ALLCLSFSLoader(
+        imdb_stub, [dict(e) for e in roidb],
+        np.ones(len(roidb)), np.arange(len(roidb)), str(sup_dir),
+        batch_size=1, num_classes=len(classes), num_shot=shot,
+        training=False)
+
+    from dana_tpu.data.inference_loader import ALLCLSFSLoader
+    from dana_tpu.utils.config import cfg as our_cfg, reset_cfg
+    reset_cfg()
+    our_cfg.TRAIN.SCALES = [220]
+    our_cfg.TEST.SCALES = [220]
+    our_cfg.TPU.SHIP_UINT8 = False
+    ours = ALLCLSFSLoader([dict(e) for e in roidb], classes=classes,
+                          num_shot=shot, support_dir=str(sup_dir))
+
+    for i in range(len(roidb)):
+        _, _, r_gt, _, r_sup, _ = ref_loader[i]
+        item = ours[i]
+        assert int(item['target_cls']) == int(r_gt[0][4]), f'item {i}'
+        got = item['support_ims'].transpose(0, 3, 1, 2)
+        np.testing.assert_allclose(got, r_sup.numpy(), atol=1e-3, rtol=0,
+                                   err_msg=f'support stack item {i}')
