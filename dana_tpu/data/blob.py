@@ -383,17 +383,22 @@ def support_blob_whole(im, pixel_means, out_size=320):
       3. top-left zero-pad onto [out_size, out_size, 3].
 
     A/B-pinned against the reference's own InferenceLoader in
-    tests/test_reference_ab.py."""
+    tests/test_reference_ab.py.
+
+    Deliberate deviation (same as support_blob_exact's): the short-side
+    extent is clamped to max(1, ...) — the reference has no clamp and
+    its cv2.resize raises on aspect ratios beyond out_size, reachable
+    here via arbitrary user demo images (utils.support_im_preprocess)."""
     im, _ = prep_im_for_blob(im, pixel_means,
                              int(np.min(im.shape[:2])), None)
     h, w = im.shape[:2]
     if h > w:
         resize_scale = float(out_size) / float(h)
-        im = cv2.resize(im, (int(w * resize_scale), out_size),
+        im = cv2.resize(im, (max(1, int(w * resize_scale)), out_size),
                         interpolation=cv2.INTER_LINEAR)
     else:
         resize_scale = float(out_size) / float(w)
-        im = cv2.resize(im, (out_size, int(h * resize_scale)),
+        im = cv2.resize(im, (out_size, max(1, int(h * resize_scale))),
                         interpolation=cv2.INTER_LINEAR)
     out = np.zeros((out_size, out_size, 3), np.float32)
     out[:im.shape[0], :im.shape[1]] = im

@@ -271,7 +271,14 @@ class MultiwayLoader(InferenceLoader):
 
     def _select_ways(self, gt_classes):
         import random as _pyrandom
-        present = list(set(int(c) for c in gt_classes if int(c) != 0))
+        avail_set = set(self.pool.classes_available())
+        # availability filter: a no-op when the pool covers every class
+        # (the reference raises at init otherwise), but real-data tails
+        # can leave a class's support pool empty in crop mode — the
+        # reference would crash on pool.get; we drop it from the ways
+        present = [c for c in
+                   set(int(c) for c in gt_classes if int(c) != 0)
+                   if c in avail_set]
         if len(present) > self.num_way:
             return _pyrandom.Random(self.epi_seed).sample(
                 present, k=self.num_way)
@@ -368,6 +375,13 @@ class ALLCLSFSLoader(InferenceLoader):
                  num_shot=5, seed=0, support_dir=None, **kw):
         self._paths = None
         if support_dir is not None:
+            if seed:
+                # the reference protocol hardcodes its seeds (0 for the
+                # class pick, the item index for supports); a seed that
+                # silently did nothing would invalidate sweep results
+                raise ValueError('directory mode follows the reference '
+                                 'fixed-seed protocol; seed applies to '
+                                 'crop mode only')
             from pathlib import Path
             self._paths = {}
             for cls_ind, name in enumerate(classes):
@@ -376,8 +390,17 @@ class ALLCLSFSLoader(InferenceLoader):
                 files = [str(p)
                          for p in Path(osp.join(support_dir, name))
                          .glob('*.jpg')]
-                if files:
-                    self._paths[cls_ind] = files
+                if not files:    # our extension: any-extension fallback
+                    files = sorted(
+                        glob.glob(osp.join(support_dir, name, '*')))
+                if not files:
+                    # fail fast like the reference
+                    # (allcls_fs_loader.py:58-59), not with a KeyError
+                    # hours into the eval
+                    raise FileNotFoundError(
+                        f'support data not found in '
+                        f'{osp.join(support_dir, name)}')
+                self._paths[cls_ind] = files
             pool = None
         else:
             pool = ResamplingSupportPool(classes, num_shot,
@@ -406,6 +429,19 @@ class ALLCLSFSLoader(InferenceLoader):
         import random as _pyrandom
         item = super().__getitem__(index)
         cls = int(item['target_cls'])
+        # reference rebuilds gt to ONLY the chosen class's boxes
+        # (allcls_fs_loader.py:94-99; it also returns num_boxes=0 —
+        # we keep the filtered count, a documented deviation since our
+        # consumers read num_boxes for the valid-row prefix)
+        entry = self.roidb[index]
+        scale = item['im_info'][2]
+        sel = entry['gt_classes'] == cls
+        gt = np.zeros((self.max_num_box, 5), np.float32)
+        n = min(int(sel.sum()), self.max_num_box)
+        gt[:n, :4] = entry['boxes'][sel][:n] * scale
+        gt[:n, 4] = cls
+        item['gt_boxes'] = gt
+        item['num_boxes'] = np.int32(n)
         picks = _pyrandom.Random(index).sample(
             self._paths[cls], k=self.num_shot)
         item['support_ims'] = np.stack([

@@ -151,7 +151,9 @@ def roi_align_pallas_pw(feat, rois, output_size: int = 7,
     rp = r + pad
     nblk = rp // roi_block
     p = output_size
-    pp = max(pooled_pad, p)
+    # round UP to a multiple of pooled_pad: any non-sublane-aligned p
+    # (14, 21, ...) hits the same Mosaic collapse rejection as 7
+    pp = -(-p // pooled_pad) * pooled_pad if pooled_pad > 1 else p
 
     def weights_one(rs):
         rs = rs.astype(jnp.float32) * spatial_scale

@@ -32,13 +32,27 @@ def _free_port():
     return port
 
 
-def _run_harness(extra, timeout=1500):
+def _run_harness(extra, log_path):
+    """Child stdout goes to a FILE, not a pipe: reading pipes
+    sequentially can deadlock — a rank blocked writing to a full pipe
+    buffer cannot finish the collective, so its peer never exits."""
     env = dict(os.environ)
     env.pop('XLA_FLAGS', None)          # harness sets its own device count
-    return subprocess.Popen(
+    log = open(log_path, 'w+')
+    p = subprocess.Popen(
         [sys.executable, HARNESS] + extra,
-        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        env=env, stdout=log, stderr=subprocess.STDOUT,
         cwd=ROOT, text=True)
+    p._log = log
+    return p
+
+
+def _wait(p, timeout=1500):
+    p.wait(timeout=timeout)
+    p._log.seek(0)
+    out = p._log.read()
+    p._log.close()
+    return out
 
 
 @pytest.mark.slow
@@ -53,19 +67,20 @@ def test_two_process_step_matches_single_process(tmp_path):
         _run_harness(['--procs', '2', '--rank', str(r),
                       '--coordinator', f'localhost:{port}',
                       '--local_devices', '4',
-                      '--out', out_pair])
+                      '--out', out_pair],
+                     str(tmp_path / f'rank{r}.log'))
         for r in (0, 1)
     ]
     outs = []
     for p in procs:
-        stdout, _ = p.communicate(timeout=1500)
+        stdout = _wait(p)
         outs.append(stdout)
         assert p.returncode == 0, f'rank failed:\n{stdout[-4000:]}'
     assert osp.exists(out_pair), f'rank 0 wrote nothing:\n{outs[0][-2000:]}'
 
     p = _run_harness(['--procs', '1', '--local_devices', '8',
-                      '--out', out_single])
-    stdout, _ = p.communicate(timeout=1500)
+                      '--out', out_single], str(tmp_path / 'single.log'))
+    stdout = _wait(p)
     assert p.returncode == 0, f'single-process run failed:\n{stdout[-4000:]}'
 
     with open(out_pair) as f:

@@ -219,6 +219,22 @@ def main(argv=None):
         t0 = time.time()
         loss_acc = {}
         it = iter(batcher)
+        if args.imlog:
+            # remember the last RAW batch for the image-grid log below.
+            # Do NOT draw a fresh `next(iter(batcher))` there: __iter__
+            # advances the batcher's epoch counter, and under --dist the
+            # logger exists on the chief only — a chief-only advance
+            # desynchronizes the seed-deterministic batch index sequence
+            # across ranks and silently corrupts every later epoch's
+            # global batches.
+            last_raw = {}
+
+            def _remember(gen):
+                for b in gen:
+                    last_raw.clear()
+                    last_raw.update(b)
+                    yield b
+            it = _remember(it)
         if pack_s2d:
             it = (_pack_batch_s2d(b) for b in it)
         if mesh is not None:
@@ -290,7 +306,7 @@ def main(argv=None):
         if logger is not None:
             # per-epoch scalars (+ query/support image grids with --imlog),
             # parity: FSODLogger.write (fsod_logger.py:37-102)
-            sample = next(iter(batcher)) if args.imlog else None
+            sample = (dict(last_raw) or None) if args.imlog else None
             logger.write(epoch,
                          {k: loss_acc[k] / steps for k in loss_acc},
                          batch=sample, save_im=args.imlog)
