@@ -31,6 +31,19 @@ def main(argv=None):
     np.random.seed(args.seed)
 
     import jax
+
+    if args.dist:
+        # multi-host eval is embarrassingly parallel: ranks split the
+        # chunk list, each runs an INDEPENDENT local-device mesh (params
+        # replicated — no cross-host collectives), and the chief merges
+        # the per-rank partial detections before COCOeval.  initialize
+        # must precede the first backend query.
+        from dana_tpu.parallel.distributed import init_distributed
+        init_distributed(args.coordinator, args.num_procs, args.proc_id)
+        print(f'distributed eval: process {jax.process_index()}/'
+              f'{jax.process_count()}, '
+              f'{len(jax.local_devices())} local devices', flush=True)
+
     import jax.numpy as jnp
     from dana_tpu.data.imdb import combined_roidb
     from dana_tpu.data.inference_loader import InferenceLoader, SupportPool
@@ -187,16 +200,20 @@ def main(argv=None):
     if tp > 1 and sp > 1:
         raise SystemExit('--tp and --sp both shard the mesh "model" '
                          'axis — pick one latency mode')
-    if (args.mGPUs or tp > 1 or sp > 1) and len(jax.devices()) > 1:
+    # under --dist every rank meshes its LOCAL devices only: eval needs
+    # no cross-host collectives (params replicated, ranks own disjoint
+    # chunks), so dp/tp/sp compose per host exactly as single-process
+    local_devices = jax.local_devices()
+    if (args.mGPUs or tp > 1 or sp > 1) and len(local_devices) > 1:
         from dana_tpu import parallel as par
         if tp > 1:
-            eval_mesh = par.make_mesh_2d(model=tp)
+            eval_mesh = par.make_mesh_2d(local_devices, model=tp)
             params = par.shard_params_tp(params, eval_mesh)
         elif sp > 1:
-            eval_mesh = par.make_mesh_2d(model=sp)
+            eval_mesh = par.make_mesh_2d(local_devices, model=sp)
             params = par.replicate(params, eval_mesh)
         else:
-            eval_mesh = par.make_mesh()
+            eval_mesh = par.make_mesh(local_devices)
             params = par.replicate(params, eval_mesh)
         n_data = int(eval_mesh.devices.shape[0])
         eval_bs = max(eval_bs, n_data)
@@ -216,6 +233,14 @@ def main(argv=None):
     chunks = [idxs[s:s + eval_bs]
               for _, idxs in sorted(groups.items())
               for s in range(0, len(idxs), eval_bs)]
+    rank, nproc = jax.process_index(), jax.process_count()
+    if nproc > 1:
+        # the chunk list is built deterministically (sorted bucket
+        # groups) so it is identical on every rank — a strided split is
+        # disjoint and covering, and interleaves buckets across ranks
+        # (better compile reuse than contiguous blocks)
+        chunks = chunks[rank::nproc]
+        print(f'rank {rank}: {len(chunks)} of the chunks', flush=True)
 
     from dana_tpu.data import blob as blob_lib
 
@@ -320,6 +345,25 @@ def main(argv=None):
 
     out_dir = args.eval_dir or os.path.join(args.save_dir, 'eval')
     os.makedirs(out_dir, exist_ok=True)
+    if nproc > 1:
+        # per-rank partials on the (shared) eval dir; the chief merges
+        # after the coordination-service barrier.  Cells are disjoint by
+        # the chunk split, so the merge is an elementwise pick.
+        part = os.path.join(out_dir, f'detections_rank{rank}.pkl')
+        with open(part, 'wb') as f:
+            pickle.dump(all_boxes, f)
+        from dana_tpu.parallel.distributed import barrier
+        barrier('eval_partials')
+        if rank != 0:
+            return None
+        for r in range(1, nproc):
+            with open(os.path.join(out_dir,
+                                   f'detections_rank{r}.pkl'), 'rb') as f:
+                other = pickle.load(f)
+            for c in range(len(all_boxes)):
+                for i in range(num_images):
+                    if len(other[c][i]):
+                        all_boxes[c][i] = other[c][i]
     with open(os.path.join(out_dir, 'detections.pkl'), 'wb') as f:
         pickle.dump(all_boxes, f)
     print(f'total detect time {time.time() - t0:.1f}s '

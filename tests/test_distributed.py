@@ -32,7 +32,7 @@ def _free_port():
     return port
 
 
-def _run_harness(extra, log_path):
+def _run_harness(extra, log_path, harness=HARNESS):
     """Child stdout goes to a FILE, not a pipe: reading pipes
     sequentially can deadlock — a rank blocked writing to a full pipe
     buffer cannot finish the collective, so its peer never exits."""
@@ -40,7 +40,7 @@ def _run_harness(extra, log_path):
     env.pop('XLA_FLAGS', None)          # harness sets its own device count
     log = open(log_path, 'w+')
     p = subprocess.Popen(
-        [sys.executable, HARNESS] + extra,
+        [sys.executable, harness] + extra,
         env=env, stdout=log, stderr=subprocess.STDOUT,
         cwd=ROOT, text=True)
     p._log = log
@@ -138,3 +138,43 @@ def test_episodic_batcher_process_slices_reassemble():
             sb['x'], np.concatenate([r0['x'], r1['x']]))
     with pytest.raises(ValueError, match='divide evenly'):
         EpisodicBatcher(FakeLoader(16), 5, process_count=2)
+
+
+EVAL_HARNESS = osp.join(ROOT, 'tools', 'dist_eval_check.py')
+
+
+@pytest.mark.slow
+def test_two_process_eval_matches_single_process(tmp_path, monkeypatch):
+    """inference.py --dist: a 2-process x 4-device pair (disjoint strided
+    chunk split, per-rank local meshes, chief-side partial merge) yields
+    the same detections as a 1-process x 8-device --mGPUs run."""
+    monkeypatch.setenv('DANA_SYNTH_ROOT', str(tmp_path / 'synth'))
+
+    # single-process reference run — also pre-generates the synth
+    # dataset the pair's subprocesses will share via DANA_SYNTH_ROOT
+    sys.path.insert(0, ROOT)
+    import inference as inference_cli
+    from tests.test_inference_cli import (BASE_ARGS,
+                                          _assert_detections_match)
+    out_single = str(tmp_path / 'eval_single')
+    inference_cli.main(BASE_ARGS + ['--bs', '4', '--mGPUs',
+                                    '--eval_dir', out_single])
+
+    port = _free_port()
+    out_pair = str(tmp_path / 'eval_pair')
+    procs = [
+        _run_harness(['--rank', str(r), '--procs', '2',
+                      '--coordinator', f'localhost:{port}',
+                      '--eval_dir', out_pair, '--bs', '4'],
+                     str(tmp_path / f'eval_rank{r}.log'),
+                     harness=EVAL_HARNESS)
+        for r in (0, 1)
+    ]
+    for r, p in enumerate(procs):
+        stdout = _wait(p)
+        assert p.returncode == 0, f'rank {r} failed:\n{stdout[-4000:]}'
+    assert osp.exists(osp.join(out_pair, 'detections.pkl'))
+    # rank partials were written and merged
+    assert osp.exists(osp.join(out_pair, 'detections_rank1.pkl'))
+
+    _assert_detections_match(out_single, out_pair)
