@@ -112,3 +112,23 @@ def test_host_prep_bench_runs(tmp_path, monkeypatch):
     assert ev_n > 0 and tr_n > 0 and ev_np > 0 and tr_np > 0
     # the env A/B switch must be restored
     assert 'DANA_NO_NATIVE' not in os.environ
+
+
+def test_round4_study_tools_helpers():
+    """Pure helpers of the round-4 study tools (import rot guard; the
+    heavyweight measure paths run on the TPU box only)."""
+    from tools import roi_locality_study as rls
+    rois = rls.make_rois('realistic')
+    assert rois.shape == (rls.B, rls.R, 4)
+    stats = rls.extent_stats(rois)
+    assert 0.0 < stats['mean_area_frac'] <= 1.1
+    worst = rls.extent_stats(rls.make_rois('worst'))
+    assert worst['mean_area_frac'] > stats['mean_area_frac']
+
+    import tools.seed_sweep
+    import tools.train_batch_study
+    import tools.dist_eval_check as dec
+    # dist_eval_check's args must stay in sync with the suite's
+    # (compile-cache reuse + equality-comparison contract)
+    from tests.test_inference_cli import BASE_ARGS
+    assert dec.BASE_ARGS == BASE_ARGS
