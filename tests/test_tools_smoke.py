@@ -132,3 +132,34 @@ def test_round4_study_tools_helpers():
     # (compile-cache reuse + equality-comparison contract)
     from tests.test_inference_cli import BASE_ARGS
     assert dec.BASE_ARGS == BASE_ARGS
+
+
+def test_seed_sweep_resume(tmp_path):
+    """A killed sweep resumes from the per-seed rows file: rows at the
+    wrong epoch count are ignored, later duplicates win, and the
+    summary aggregates mean/min/max."""
+    import json
+    from tools import seed_sweep
+
+    path = tmp_path / 'rows.jsonl'
+    rows = [
+        {'seed': 0, 'epochs': 600, 'ap': 0.70, 'ap50': 0.90,
+         'single_ap': 0.30, 'single_ap50': 0.40},
+        {'seed': 1, 'epochs': 300, 'ap': 0.10, 'ap50': 0.10,
+         'single_ap': 0.10, 'single_ap50': 0.10},  # other protocol
+        {'seed': 0, 'epochs': 600, 'ap': 0.80, 'ap50': 0.96,
+         'single_ap': 0.36, 'single_ap50': 0.42},  # re-run wins
+    ]
+    with open(path, 'w') as f:
+        for r in rows:
+            f.write(json.dumps(r) + '\n')
+    done = seed_sweep.load_rows(600, path=str(path))
+    assert set(done) == {0}
+    assert done[0]['ap'] == 0.80
+
+    summary = seed_sweep.summarize([
+        {'ap': 0.7, 'ap50': 0.9, 'single_ap': 0.3, 'single_ap50': 0.4},
+        {'ap': 0.8, 'ap50': 1.0, 'single_ap': 0.4, 'single_ap50': 0.5},
+    ])
+    assert abs(summary['ap']['mean'] - 0.75) < 1e-9
+    assert summary['ap50']['min'] == 0.9 and summary['ap50']['max'] == 1.0

@@ -10,6 +10,11 @@ each with the 5-way 2-shot MultiwayLoader protocol
 supports stay pinned at seed 0 so the spread measures training
 variance, not eval-support luck.
 
+Each ~40 min seed is checkpointed to ROWS_PATH as soon as its eval
+finishes, and already-recorded (seed, epochs) rows are skipped on
+restart — a killed sweep resumes at the first unfinished seed instead
+of retraining everything.
+
 Usage: python tools/seed_sweep.py [n_seeds] [epochs]
 """
 
@@ -22,41 +27,72 @@ sys.path.insert(0, '/root/repo')
 
 import numpy as np
 
+ROWS_PATH = '/root/repo/.scratch/seed_sweep_rows.jsonl'
+OUT_PATH = '/root/repo/.scratch/seed_sweep.json'
+
+
+def load_rows(epochs, path=ROWS_PATH):
+    """Completed rows of a previous (possibly killed) sweep at the same
+    epoch count, keyed by seed; later duplicates win."""
+    rows = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                row = json.loads(line)
+                if row.get('epochs') == epochs:
+                    rows[row['seed']] = row
+    return rows
+
+
+def summarize(rows):
+    def stat(key):
+        v = np.array([r[key] for r in rows])
+        return (float(v.mean()), float(v.min()), float(v.max()))
+
+    return {k: dict(zip(('mean', 'min', 'max'), stat(k)))
+            for k in ('ap', 'ap50', 'single_ap', 'single_ap50')}
+
 
 def main(n_seeds=3, epochs=600):
     from tools import synth_train_eval, synth_multiway_eval
 
-    rows = []
+    done = load_rows(epochs)
     for seed in range(n_seeds):
+        if seed in done:
+            print(f'[seed {seed}] cached: 5-way AP {done[seed]["ap"]:.3f} '
+                  f'AP50 {done[seed]["ap50"]:.3f}', flush=True)
+            continue
         ckpt = f'/root/repo/.scratch/synth_seed{seed}.dkpt'
         os.environ['SYNTH_OUT_CKPT'] = ckpt
         t0 = time.time()
         single = synth_train_eval.main(epochs, 'synth_train_big',
                                        'synth_test', seed=seed)
         multi = synth_multiway_eval.main(ckpt, 5, 2)
-        rows.append({
+        row = {
             'seed': seed,
+            'epochs': epochs,
             'single_ap': float(single['stats'][0]),
             'single_ap50': float(single['stats'][1]),
             'ap': float(multi['stats'][0]),
             'ap50': float(multi['stats'][1]),
             'minutes': round((time.time() - t0) / 60, 1),
-        })
-        print(f'[seed {seed}] 5-way AP {rows[-1]["ap"]:.3f} '
-              f'AP50 {rows[-1]["ap50"]:.3f} '
-              f'({rows[-1]["minutes"]} min)', flush=True)
+        }
+        with open(ROWS_PATH, 'a') as f:
+            f.write(json.dumps(row) + '\n')
+        done[seed] = row
+        print(f'[seed {seed}] 5-way AP {row["ap"]:.3f} '
+              f'AP50 {row["ap50"]:.3f} '
+              f'({row["minutes"]} min)', flush=True)
 
-    def stat(key):
-        v = np.array([r[key] for r in rows])
-        return (float(v.mean()), float(v.min()), float(v.max()))
-
-    summary = {k: dict(zip(('mean', 'min', 'max'), stat(k)))
-               for k in ('ap', 'ap50', 'single_ap', 'single_ap50')}
+    rows = [done[s] for s in range(n_seeds)]
+    summary = summarize(rows)
     out = {'protocol': f'{n_seeds} seeds x {epochs} epochs '
                        f'synth_train_big, 5-way 2-shot multiway eval',
            'rows': rows, 'summary': summary}
-    path = '/root/repo/.scratch/seed_sweep.json'
-    with open(path, 'w') as f:
+    with open(OUT_PATH, 'w') as f:
         json.dump(out, f, indent=1)
     m, lo, hi = summary['ap']['mean'], summary['ap']['min'], \
         summary['ap']['max']
@@ -64,7 +100,7 @@ def main(n_seeds=3, epochs=600):
         summary['ap50']['max']
     print(f'\nSEED SWEEP ({n_seeds} seeds): '
           f'5-way AP {m:.3f} [{lo:.3f}, {hi:.3f}]  '
-          f'AP50 {m5:.3f} [{lo5:.3f}, {hi5:.3f}]  -> {path}')
+          f'AP50 {m5:.3f} [{lo5:.3f}, {hi5:.3f}]  -> {OUT_PATH}')
     return out
 
 
