@@ -127,6 +127,7 @@ def test_round4_study_tools_helpers():
 
     import tools.seed_sweep
     import tools.train_batch_study
+    import tools.bs_regress_probe
     import tools.dist_eval_check as dec
     # dist_eval_check's args must stay in sync with the suite's
     # (compile-cache reuse + equality-comparison contract)
