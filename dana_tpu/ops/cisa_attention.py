@@ -49,6 +49,13 @@ def _fused(q, k, v, unary_sm, scale, gamma, block_q):
     """q [G, Nq, D], k [G, Ns, D], v [G, Ns, C], unary_sm [G, 1, Ns]."""
     g, nq, d = q.shape
     ns, c = v.shape[1:]
+    if ns == 1:
+        # Mosaic hazard: a dot_general against a single bf16 key row
+        # lowers to an illegal dtype-changing vector.broadcast (seen
+        # with 224px supports, whose AvgPool(14) leaves one pooled
+        # token).  The kernel buys nothing at Ns=1 (softmax over one
+        # key is identically 1) — use the XLA math.
+        return cisa_attention_xla(q, k, v, unary_sm, scale, gamma)
     bq = min(block_q, nq)
     pad = (-nq) % bq
     if pad:
@@ -154,6 +161,9 @@ def _fused_shots(q, k, v, unary_sm, scale, gamma, block_q):
     unary_sm [G, S, Ns] -> [G, Nq, C] (mean over S)."""
     g, nq, d = q.shape
     s, ns, c = v.shape[1:]
+    if ns == 1:
+        # Same Ns=1 Mosaic lowering hazard as _fused (see there).
+        return cisa_attention_shots_xla(q, k, v, unary_sm, scale, gamma)
     bq = min(block_q, nq)
     pad = (-nq) % bq
     if pad:

@@ -105,3 +105,23 @@ def test_custom_vjp_grads_match():
     for a, b in zip(g_ref, g_fused):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-5, atol=2e-5)
+
+def test_single_support_token_routes_to_xla():
+    """Ns=1 (224px supports: AvgPool(14) leaves ONE pooled token) must
+    not reach the Pallas kernel — Mosaic rejects a dot_general against
+    a single bf16 key row with an illegal dtype-changing
+    vector.broadcast (found lowering the dry-run probe for TPU).  The
+    fused entry points route Ns=1 to the XLA math; numerics must be
+    identical."""
+    scale, gamma = 0.25, 0.1
+    q, k, v, u = _inputs(g=2, nq=37, ns=1, d=16, c=32, seed=5)
+    ref = ca.cisa_attention_xla(q, k, v, u, scale, gamma)
+    got = ca._fused(q, k, v, u, scale, gamma, block_q=16)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+    q, k, v, u = _inputs_shots(g=2, s=3, nq=33, ns=1, d=16, c=24, seed=6)
+    ref = ca.cisa_attention_shots_xla(q, k, v, u, scale, gamma)
+    got = ca._fused_shots(q, k, v, u, scale, gamma, block_q=16)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
