@@ -1962,6 +1962,135 @@ def test_fsod_real_backbone_full_forward_matches_reference(ref, monkeypatch):
     assert float(np.abs(g_prob[:, 1] - g_prob[0, 1]).max()) > 0.003
 
 
+def test_meta_real_backbone_full_forward_matches_reference(ref, monkeypatch):
+    """Real-trunk Meta R-CNN A/B: the reference's concrete METARCNN
+    (meta.py:168-251) with its own resnet50 base/top — the PRN runs the
+    SAME real trunk on the supports (base -> maxpool2 -> layer4 -> mean
+    -> sigmoid, meta.py:242-251) — vs frameworks.meta_forward on the
+    converted state dict.  With the real-trunk frcnn/fsod/dana tests
+    this makes the real-conv-trunk A/B 5-for-5 across the frameworks."""
+    import torch
+
+    from dana_tpu.models import frameworks
+    from dana_tpu.utils.torch_import import convert_dana_state_dict
+
+    b, shot, post = 2, 1, 50
+    H, W = 192, 256
+    _set_ref_eval_cfg(ref, post)
+    ref.cfg.ANCHOR_SCALES = [2, 4, 8]
+    ref.cfg.RESNET.FIXED_BLOCKS = 1
+    from model.framework import meta as ref_meta
+
+    torch.manual_seed(31)
+    tm = ref_meta.METARCNN(['fg', 'bg'], num_layers=50, pretrained=False,
+                           num_way=2, num_shot=shot)
+    tm.create_architecture()
+    rng = np.random.default_rng(67)
+    _randomize_frozen_bn(tm, rng)
+    # tuned on the torch side alone (same method as the dana/frcnn
+    # real-trunk tests): RPN cls logit std ~1.2, delta std ~0.28,
+    # reweighted-tail prob spread ~0.08
+    with torch.no_grad():
+        tm.RCNN_rpn.RPN_cls_score.weight.mul_(0.08)
+        tm.RCNN_rpn.RPN_bbox_pred.weight.mul_(0.02)
+        tm.RCNN_cls_score[0].weight.mul_(0.02)
+    tm.eval()
+
+    im = rng.normal(0, 2.0, (b, H, W, 3)).astype(np.float32)
+    sup = rng.normal(0, 2.0, (b, shot, 320, 320, 3)).astype(np.float32)
+    im_info = np.array([[H, W, 1.0], [H - 40, W - 64, 1.0]], np.float32)
+    im_t = torch.from_numpy(np.ascontiguousarray(im.transpose(0, 3, 1, 2)))
+    sup_t = torch.from_numpy(
+        np.ascontiguousarray(sup.transpose(0, 1, 4, 2, 3)))
+    with torch.no_grad():
+        want = tm(im_t, torch.from_numpy(im_info), torch.zeros(b, 20, 5),
+                  torch.zeros(b), sup_t,
+                  all_cls_gt_boxes=torch.zeros(b, 20, 5))
+
+    params = convert_dana_state_dict(
+        {k: v.detach().numpy() for k, v in tm.state_dict().items()})
+    config = _eval_config(shot, post)
+    config = config.__class__(**{**config.__dict__,
+                                 'anchor_scales': (2, 4, 8)})
+    out = frameworks.meta_forward(params, config, im, im_info, sup)
+    np.testing.assert_allclose(np.asarray(out['rois']), want[0].numpy(),
+                               rtol=1e-4, atol=5e-3)
+    _inject_ref_rois(monkeypatch, want[0].numpy())
+    out = frameworks.meta_forward(params, config, im, im_info, sup)
+    g_prob = np.asarray(out['cls_prob']).reshape(b * post, 2)
+    g_bbox = np.asarray(out['bbox_pred']).reshape(b * post, 4)
+    np.testing.assert_allclose(g_prob, want[1].numpy(), rtol=1e-3,
+                               atol=1e-3)
+    np.testing.assert_allclose(g_bbox, want[2].numpy(), rtol=1e-3,
+                               atol=1e-3)
+    assert float(np.abs(g_prob[:, 1] - g_prob[0, 1]).max()) > 0.003
+
+
+def test_fgn_real_backbone_full_forward_matches_reference(ref, monkeypatch):
+    """Real-trunk FGN A/B: the reference's concrete FGN (fgn.py:190-263)
+    with its own resnet50.  The AvgPool2d(20) support-vector gating
+    multiplies the real trunk's ~30-std layer3 activations by their own
+    post-ReLU (positive) means, so the std-0.01 RPN heads see ~300x the
+    frcnn test's input scale — their multipliers are correspondingly
+    ~300x smaller (tuned: RPN cls logit std ~1.2, delta std ~0.29,
+    100/100 unique rois)."""
+    import torch
+
+    from dana_tpu.models import frameworks
+    from dana_tpu.utils.torch_import import convert_dana_state_dict
+
+    b, shot, post = 2, 1, 50
+    H, W = 192, 256
+    _set_ref_eval_cfg(ref, post)
+    ref.cfg.ANCHOR_SCALES = [2, 4, 8]
+    ref.cfg.RESNET.FIXED_BLOCKS = 1
+    from model.framework import fgn as ref_fgn
+
+    torch.manual_seed(47)
+    tm = ref_fgn.FGN(['fg', 'bg'], num_layers=50, pretrained=False,
+                     num_way=2, num_shot=shot)
+    tm.create_architecture()
+    rng = np.random.default_rng(71)
+    # randomizes the head bn1/bn2 running stats/affines too (they are
+    # ordinary nn.BatchNorm2d, exercised in eval running-stat mode here)
+    _randomize_frozen_bn(tm, rng)
+    with torch.no_grad():
+        tm.RCNN_rpn.RPN_cls_score.weight.mul_(2.7e-4)
+        tm.RCNN_rpn.RPN_bbox_pred.weight.mul_(1e-4)
+        tm.RCNN_cls_score.weight.mul_(0.02)
+    tm.eval()
+
+    im = rng.normal(0, 2.0, (b, H, W, 3)).astype(np.float32)
+    sup = rng.normal(0, 2.0, (b, shot, 320, 320, 3)).astype(np.float32)
+    im_info = np.array([[H, W, 1.0], [H - 40, W - 64, 1.0]], np.float32)
+    im_t = torch.from_numpy(np.ascontiguousarray(im.transpose(0, 3, 1, 2)))
+    sup_t = torch.from_numpy(
+        np.ascontiguousarray(sup.transpose(0, 1, 4, 2, 3)))
+    with torch.no_grad():
+        want = tm(im_t, torch.from_numpy(im_info), torch.zeros(b, 20, 5),
+                  torch.zeros(b), sup_t)
+
+    params = convert_dana_state_dict(
+        {k: v.detach().numpy() for k, v in tm.state_dict().items()})
+    config = _eval_config(shot, post)
+    config = config.__class__(**{**config.__dict__,
+                                 'anchor_scales': (2, 4, 8)})
+    out = frameworks.fgn_forward(params, config, im, im_info, sup)
+    # gated-RPN logits carry the trunk's magnitude: allow the same
+    # relative-noise box budget as the fsod real-trunk test
+    np.testing.assert_allclose(np.asarray(out['rois']), want[0].numpy(),
+                               rtol=1e-4, atol=2e-2)
+    _inject_ref_rois(monkeypatch, want[0].numpy())
+    out = frameworks.fgn_forward(params, config, im, im_info, sup)
+    g_prob = np.asarray(out['cls_prob']).reshape(b * post, 2)
+    g_bbox = np.asarray(out['bbox_pred']).reshape(b * post, 4)
+    np.testing.assert_allclose(g_prob, want[1].numpy(), rtol=1e-3,
+                               atol=1e-3)
+    np.testing.assert_allclose(g_bbox, want[2].numpy(), rtol=1e-3,
+                               atol=1e-3)
+    assert float(np.abs(g_prob[:, 1] - g_prob[0, 1]).max()) > 0.003
+
+
 def test_dana_real_backbone_train_losses_match_reference(ref, monkeypatch):
     """TRAIN-mode loss A/B with the reference's REAL resnet50 trunk:
     like test_dana_train_losses_match_reference (both sides get
