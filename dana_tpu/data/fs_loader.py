@@ -319,8 +319,13 @@ class EpisodicBatcher:
                 if len(chunk) < self.batch_size:
                     if self.drop_last:
                         continue
-                    chunk = np.concatenate(
-                        [chunk, idxs[:self.batch_size - len(chunk)]])
+                    # Cycle the bucket until the batch is FULL: a bucket
+                    # smaller than batch_size would otherwise yield a short
+                    # batch whose per-rank row blocks are unequal (or empty)
+                    # under multi-process slicing in __iter__.
+                    reps = int(np.ceil(self.batch_size / len(idxs)))
+                    pad = np.tile(idxs, reps)[:self.batch_size - len(chunk)]
+                    chunk = np.concatenate([chunk, pad])
                 batches.append(list(chunk))
         if self.shuffle:
             rng.shuffle(batches)

@@ -45,6 +45,19 @@ def _crop_support(im, box, pixel_means, support_size):
     return blob.support_blob(im, box, pixel_means, support_size)
 
 
+def _list_support_files(support_dir, name):
+    """Directory-pool listing, shared by every loader that consumes the
+    reference `data/supports/<cls>/` layout: the reference's exact
+    Path.glob('*.jpg') enumeration (inference_loader.py:61-65), with a
+    sorted any-extension fallback as our extension.  Returns [] when the
+    class directory is empty/absent — callers choose skip vs fail-fast."""
+    from pathlib import Path
+    files = [str(p) for p in Path(osp.join(support_dir, name)).glob('*.jpg')]
+    if not files:
+        files = sorted(glob.glob(osp.join(support_dir, name, '*')))
+    return files
+
+
 class SupportPool:
     """Fixed per-class support images, seeded like the reference
     (inference_loader.py:61-71: random.seed(epi_random_seed) sample)."""
@@ -61,7 +74,6 @@ class SupportPool:
         rng = np.random.default_rng(seed)
         if support_dir and osp.isdir(support_dir):
             import random as _pyrandom
-            from pathlib import Path
             for cls_ind, name in enumerate(classes):
                 if name == '__background__':
                     continue
@@ -71,12 +83,7 @@ class SupportPool:
                 # directory this picks the identical support files.
                 # Random(seed) == (random.seed(seed); random.sample(...))
                 # without mutating global RNG state.
-                files = [str(p)
-                         for p in Path(osp.join(support_dir, name))
-                         .glob('*.jpg')]
-                if not files:    # our extension: any-extension fallback
-                    files = sorted(
-                        glob.glob(osp.join(support_dir, name, '*')))
+                files = _list_support_files(support_dir, name)
                 if not files:
                     continue
                 if len(files) >= num_shot:
@@ -382,17 +389,11 @@ class ALLCLSFSLoader(InferenceLoader):
                 raise ValueError('directory mode follows the reference '
                                  'fixed-seed protocol; seed applies to '
                                  'crop mode only')
-            from pathlib import Path
             self._paths = {}
             for cls_ind, name in enumerate(classes):
                 if name == '__background__':
                     continue
-                files = [str(p)
-                         for p in Path(osp.join(support_dir, name))
-                         .glob('*.jpg')]
-                if not files:    # our extension: any-extension fallback
-                    files = sorted(
-                        glob.glob(osp.join(support_dir, name, '*')))
+                files = _list_support_files(support_dir, name)
                 if not files:
                     # fail fast like the reference
                     # (allcls_fs_loader.py:58-59), not with a KeyError
@@ -400,6 +401,15 @@ class ALLCLSFSLoader(InferenceLoader):
                     raise FileNotFoundError(
                         f'support data not found in '
                         f'{osp.join(support_dir, name)}')
+                if len(files) < num_shot:
+                    # __getitem__'s exact-reference random.sample would
+                    # raise ValueError — but only when this class first
+                    # appears as a target, possibly hours in; surface the
+                    # shortfall at construction instead
+                    raise ValueError(
+                        f'{osp.join(support_dir, name)} has {len(files)} '
+                        f'support images but num_shot={num_shot}; the '
+                        f'reference protocol samples without replacement')
                 self._paths[cls_ind] = files
             pool = None
         else:

@@ -63,7 +63,7 @@ def is_multiprocess() -> bool:
     return jax.process_count() > 1
 
 
-def barrier(name: str, timeout_ms: int = 600_000) -> None:
+def barrier(name: str, timeout_ms: int | None = None) -> None:
     """Block until every process reaches this named barrier.
 
     Rides the coordination service (the jax.distributed KV store), NOT
@@ -74,13 +74,42 @@ def barrier(name: str, timeout_ms: int = 600_000) -> None:
     warm persistent cache), and a rank entering gloo context init more
     than 30s before its peers fails with GetKeyValue DEADLINE_EXCEEDED.
     No-op in single-process mode.
+
+    Default timeout is 600s, overridable per call or globally via
+    DANA_BARRIER_TIMEOUT_S.  Callers gating on work whose cross-rank
+    skew is unbounded (e.g. a full detection pass where one rank has a
+    cold compile cache) should pass a timeout sized to the WHOLE stage,
+    not to the usual skew.
     """
     if jax.process_count() <= 1:
         return
+    if timeout_ms is None:
+        import os
+        timeout_ms = 1000 * int(os.environ.get('DANA_BARRIER_TIMEOUT_S',
+                                               '600'))
     from jax._src import distributed as _dist
     client = _dist.global_state.client
     if client is not None:
         client.wait_at_barrier(name, timeout_in_ms=timeout_ms)
+
+
+def agree_stop(local_flag: bool) -> bool:
+    """Collective OR of a per-process flag — the multi-process stop vote.
+
+    A preemption SIGTERM may land on ONE host only, or at different step
+    boundaries on different hosts; a rank that breaks out of the train
+    loop alone strands its peers inside the gradient all-reduce of the
+    step it never dispatches.  Every process must call this at the same
+    loop boundary (the per-step metrics read already keeps hosts in
+    lockstep); all return the identical decision, so every rank stops —
+    or keeps going — at the same step.  No-op passthrough single-process.
+    """
+    if jax.process_count() <= 1:
+        return bool(local_flag)
+    from jax.experimental import multihost_utils
+    votes = multihost_utils.process_allgather(
+        np.int32(1 if local_flag else 0))
+    return bool(np.asarray(votes).sum() > 0)
 
 
 def batch_pspec(mesh: Mesh) -> P:
@@ -121,5 +150,5 @@ def local_rows(global_batch_size: int,
     return slice(pid * per, (pid + 1) * per)
 
 
-__all__ = ['init_distributed', 'is_multiprocess', 'batch_pspec',
-           'shard_batch_local', 'local_rows']
+__all__ = ['init_distributed', 'is_multiprocess', 'agree_stop',
+           'batch_pspec', 'shard_batch_local', 'local_rows']

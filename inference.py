@@ -353,7 +353,11 @@ def main(argv=None):
         with open(part, 'wb') as f:
             pickle.dump(all_boxes, f)
         from dana_tpu.parallel.distributed import barrier
-        barrier('eval_partials')
+        # skew here is bounded by the WHOLE detection pass (a rank with a
+        # cold compile cache can trail by far more than the default 600s);
+        # a timeout sized to the pass itself, not to per-step skew
+        barrier('eval_partials',
+                timeout_ms=max(3_600_000, int(60_000 * len(chunks))))
         if rank != 0:
             return None
         for r in range(1, nproc):

@@ -140,6 +140,46 @@ def test_episodic_batcher_process_slices_reassemble():
         EpisodicBatcher(FakeLoader(16), 5, process_count=2)
 
 
+def test_episodic_batcher_short_bucket_fills_batch():
+    """A bucket SMALLER than the batch (drop_last=False) must still yield
+    FULL batches: the wrap-around pad cycles the bucket, so per-rank row
+    blocks stay equal — a short batch would give ranks unequal (or empty)
+    shards under make_array_from_process_local_data."""
+    from dana_tpu.data.fs_loader import EpisodicBatcher
+
+    class FakeLoader:
+        def __init__(self, n):
+            self.n = n
+
+        def valid_indices(self):
+            return list(range(self.n))
+
+        def bucket_of(self, i):
+            return 0
+
+        def __getitem__(self, i):
+            return {'x': np.full((2, 2), i, np.float32)}
+
+    for n in (1, 3, 5):
+        single = list(EpisodicBatcher(FakeLoader(n), 8, seed=0))
+        assert all(b['x'].shape[0] == 8 for b in single)
+        ranks = [list(EpisodicBatcher(FakeLoader(n), 8, seed=0,
+                                      process_id=r, process_count=2))
+                 for r in (0, 1)]
+        for sb, r0, r1 in zip(single, *ranks):
+            assert r0['x'].shape[0] == r1['x'].shape[0] == 4
+            np.testing.assert_array_equal(
+                sb['x'], np.concatenate([r0['x'], r1['x']]))
+
+
+def test_agree_stop_single_process_passthrough():
+    """agree_stop degrades to the local flag when single-process (the
+    multi-process vote is exercised by the 2-process harnesses)."""
+    from dana_tpu.parallel.distributed import agree_stop
+    assert agree_stop(True) is True
+    assert agree_stop(False) is False
+
+
 EVAL_HARNESS = osp.join(ROOT, 'tools', 'dist_eval_check.py')
 
 

@@ -153,6 +153,30 @@ def test_allcls_loader_lazy_resample(synth):
     assert len(calls) == 1        # one class decoded, not num_classes
 
 
+def test_allcls_directory_mode_validates_shot_count(synth, tmp_path):
+    """Directory mode fails at CONSTRUCTION when a class pool has fewer
+    than num_shot images — the reference's sample-without-replacement
+    would only raise when that class first appears as a target, possibly
+    hours into the eval."""
+    import cv2
+    imdb_, roidb = synth
+    sdir = tmp_path / 'supports'
+    im = np.zeros((32, 32, 3), np.uint8)
+    for name in imdb_.classes:
+        if name == '__background__':
+            continue
+        d = sdir / name
+        d.mkdir(parents=True)
+        for k in range(3):
+            cv2.imwrite(str(d / f's{k}.jpg'), im)
+    with pytest.raises(ValueError, match='support images but num_shot'):
+        ALLCLSFSLoader(roidb, classes=imdb_.classes, num_shot=5,
+                       support_dir=str(sdir))
+    # enough images -> constructs fine
+    ALLCLSFSLoader(roidb, classes=imdb_.classes, num_shot=3,
+                   support_dir=str(sdir))
+
+
 def test_support_cache_exact(tmp_path, monkeypatch):
     """Decoded-support FIFO cache returns bit-identical episodes."""
     import numpy as np

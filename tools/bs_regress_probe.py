@@ -159,6 +159,7 @@ def main():
         row = probe(bs, dry=dry)
         rows.append(row)
         print(json.dumps(row), flush=True)
+    os.makedirs('/root/repo/.scratch', exist_ok=True)
     with open('/root/repo/.scratch/bs_regress_probe.json', 'w') as f:
         json.dump(rows, f, indent=1)
 

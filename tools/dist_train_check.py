@@ -107,6 +107,16 @@ def main(argv=None):
     new_state, metrics = compiled(state, sharded, key)
     jax.block_until_ready(new_state.params)
 
+    if args.procs > 1:
+        # the preemption stop-vote (train.py stop_requested): a flag set
+        # on ONE rank must come back True on EVERY rank, and a quiet
+        # round must come back False — both ranks assert, so a vote bug
+        # fails the harness with a nonzero exit
+        from dana_tpu.parallel.distributed import agree_stop
+        assert agree_stop(jax.process_index() == 1) is True, \
+            'one-rank preempt flag did not propagate'
+        assert agree_stop(False) is False, 'phantom stop vote'
+
     if jax.process_index() == 0 and args.out:
         fp = jax.tree.reduce(
             lambda a, x: a + float(jnp.abs(x).sum()),

@@ -29,6 +29,7 @@ Usage: python tools/roi_locality_study.py [--iters 64]
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -137,6 +138,7 @@ def main():
             print(kind, name, rows[name], flush=True)
         results[kind] = rows
 
+    os.makedirs('/root/repo/.scratch', exist_ok=True)
     with open('/root/repo/.scratch/roi_locality_study.json', 'w') as f:
         json.dump(results, f, indent=1)
     print(json.dumps(results, indent=1))

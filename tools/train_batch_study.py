@@ -16,6 +16,7 @@ Results recorded in PERF.md ("train batch scaling x remat").
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -110,6 +111,7 @@ def main():
                      'detail': msg[:200]}
             rows.append(r)
             print(json.dumps(r), flush=True)
+    os.makedirs('/root/repo/.scratch', exist_ok=True)
     with open('/root/repo/.scratch/train_batch_study.json', 'w') as f:
         json.dump(rows, f, indent=1)
 

@@ -206,6 +206,17 @@ def main(argv=None):
     rng = jax.random.PRNGKey(args.seed)
     global_step = 0
     guard = PreemptionGuard().install()
+
+    def stop_requested():
+        # Multi-process: the signal may land on one host only (or at
+        # different boundaries); vote so every rank stops at the SAME
+        # step — a lone rank breaking out strands its peers inside the
+        # gradient all-reduce (dana_tpu.parallel.distributed.agree_stop).
+        if jax.process_count() > 1:
+            from dana_tpu.parallel.distributed import agree_stop
+            return agree_stop(guard.requested)
+        return guard.requested
+
     for epoch in range(start_epoch, args.max_epochs + 1):
         # step lr decay — exact reference cadence: decay at every epoch
         # divisible by lr_decay_step+1 (reference train.py:118-120; step=10
@@ -268,6 +279,7 @@ def main(argv=None):
                 yield 1, m
 
         trace_active = False
+        preempted = False
         for n, metrics in run_batches(it):
             if args.profile and global_step == 3:
                 jax.profiler.start_trace(args.profile)
@@ -288,16 +300,17 @@ def main(argv=None):
                 print(f'[epoch {epoch:2d}][iter {steps:4d}] '
                       f'lr: {lr:.2e}, time/iter: {dt / steps:.3f}s, {msg}',
                       flush=True)
-            if guard.requested:
+            if stop_requested():
                 # break AFTER accounting: the step that just ran is in
                 # `state` and must be reflected in steps/metrics
+                preempted = True
                 break
         if trace_active:
             jax.block_until_ready(state.params)
             jax.profiler.stop_trace()
             print(f'profiler trace written to {args.profile} (partial)')
         if steps == 0:
-            if guard.requested:
+            if preempted or guard.requested:
                 print('preempted before the first step; nothing new to '
                       'checkpoint — exiting')
                 return None
@@ -314,10 +327,10 @@ def main(argv=None):
         # the last complete one, so --r re-runs the interrupted epoch
         # instead of silently skipping its remaining batches (the partial
         # updates it carries are simply trained over again)
-        ckpt_epoch = epoch - 1 if guard.requested else epoch
+        ckpt_epoch = epoch - 1 if preempted else epoch
         path = ckpt_lib.checkpoint_path(args.save_dir, ckpt_epoch,
                                         steps - 1)
-        if guard.requested:
+        if preempted:
             # distinct name so a partial-epoch save can never clobber a
             # genuine completed-epoch checkpoint with the same indices
             base, ext = os.path.splitext(path)
@@ -331,7 +344,7 @@ def main(argv=None):
                 pooling_mode=cfg.POOLING_MODE, backend=args.ckpt_backend)
             print(f'[epoch {epoch:2d}] saved {path} '
                   f'({time.time() - t0:.1f}s, {steps} iters)')
-        if guard.requested:
+        if preempted:
             # beyond the reference, which loses everything since its
             # last per-epoch save (train.py:183-189)
             print('preemption checkpoint written; exiting')
