@@ -50,21 +50,34 @@ def u8_pad_of(pixel_means):
 class FIFOCache:
     """Tiny bounded FIFO map for decoded support crops (one eviction
     policy shared by FewShotLoader, FinetuneLoader and
-    ResamplingSupportPool).  cap=0 disables caching entirely."""
+    ResamplingSupportPool).  cap=0 disables caching entirely.
+
+    Thread-safe: episode assembly runs under EpisodicBatcher's worker
+    pool (num_workers > 1), where concurrent get/put on the shared cache
+    would otherwise race the eviction pop.  Values are immutable decoded
+    arrays, so two threads racing a miss on the same key just compute
+    the same value twice — correctness only needs the dict/evict ops
+    themselves to be atomic."""
 
     def __init__(self, cap):
+        import threading as _threading
         self.cap = int(cap)
         self._d = {}
+        self._lock = _threading.Lock()
 
     def get(self, key):
-        return self._d.get(key) if self.cap else None
+        if not self.cap:
+            return None
+        with self._lock:
+            return self._d.get(key)
 
     def put(self, key, value):
         if not self.cap:
             return value
-        if len(self._d) >= self.cap:
-            self._d.pop(next(iter(self._d)))
-        self._d[key] = value
+        with self._lock:
+            if key not in self._d and len(self._d) >= self.cap:
+                self._d.pop(next(iter(self._d)))
+            self._d[key] = value
         return value
 
 
@@ -85,12 +98,86 @@ def snap_bucket(h, w, multiple=64):
     return (snap(h), snap(w))
 
 
+class ImageCache:
+    """Byte-bounded LRU of decoded images (uint8 BGR, read-only views).
+
+    Shared by every imread_bgr caller — query blobs, support crops,
+    directory pools — so a support crop whose source image is cached
+    costs crop+resize instead of a JPEG decode.  Values are stored with
+    writeable=False and returned without copying; callers convert with
+    astype (always a fresh array).  Thread-safe for EpisodicBatcher's
+    worker pool."""
+
+    def __init__(self, cap_mb):
+        import threading as _threading
+        from collections import OrderedDict
+        self.cap_bytes = int(cap_mb) * (1 << 20)
+        self._d = OrderedDict()   # path -> uint8 array; front = LRU
+        self._bytes = 0
+        self._lock = _threading.Lock()
+
+    def get(self, path):
+        with self._lock:
+            arr = self._d.get(path)
+            if arr is not None:
+                self._d.move_to_end(path)
+            return arr
+
+    def put(self, path, arr):
+        if arr.nbytes > self.cap_bytes:
+            return arr
+        arr = arr.copy()
+        arr.flags.writeable = False
+        with self._lock:
+            old = self._d.pop(path, None)
+            if old is not None:
+                self._bytes -= old.nbytes
+            while self._bytes + arr.nbytes > self.cap_bytes and self._d:
+                _, ev = self._d.popitem(last=False)
+                self._bytes -= ev.nbytes
+            self._d[path] = arr
+            self._bytes += arr.nbytes
+        return arr
+
+
+_image_cache = None
+_image_cache_mb = None
+
+
+def _get_image_cache():
+    """cfg-gated module-level cache (cfg.TPU.IMAGE_CACHE_MB; 0 = off),
+    rebuilt when the configured size changes."""
+    global _image_cache, _image_cache_mb
+    from dana_tpu.utils.config import cfg
+    mb = int(cfg.TPU.IMAGE_CACHE_MB)
+    if mb != _image_cache_mb:
+        _image_cache_mb = mb
+        _image_cache = ImageCache(mb) if mb > 0 else None
+    return _image_cache
+
+
+def clear_image_cache():
+    """Drop all cached decodes (tests: same path, new pixels)."""
+    global _image_cache, _image_cache_mb
+    _image_cache = None
+    _image_cache_mb = None
+
+
 def imread_bgr(path: str) -> np.ndarray:
     """Read image as float32 BGR HWC (grayscale -> 3ch), like
-    minibatch.py:76-81 (cv2.imread is already BGR)."""
+    minibatch.py:76-81 (cv2.imread is already BGR).  Decodes go through
+    the byte-bounded ImageCache (hit = astype, ~8x cheaper than a
+    re-decode); the returned f32 array is always freshly allocated."""
+    cache = _get_image_cache()
+    if cache is not None:
+        hit = cache.get(path)
+        if hit is not None:
+            return hit.astype(np.float32)
     im = cv2.imread(path, cv2.IMREAD_COLOR)
     if im is None:
         raise FileNotFoundError(path)
+    if cache is not None:
+        cache.put(path, im)
     return im.astype(np.float32)
 
 

@@ -277,18 +277,32 @@ class FinetuneLoader(FewShotLoader):
 
 class EpisodicBatcher:
     """Groups same-bucket episodes into batches (replaces the reference's
-    ratio-grouped `sampler`, fs_loader.py:332-354) with optional
-    background-thread prefetch."""
+    ratio-grouped `sampler` + 8-worker torch DataLoader,
+    fs_loader.py:332-354 / train.py:57-59) with optional
+    background-thread prefetch and a worker pool for episode assembly."""
 
     def __init__(self, loader: FewShotLoader, batch_size, shuffle=True,
-                 seed=0, drop_last=True, process_id=0, process_count=1):
+                 seed=0, drop_last=True, process_id=0, process_count=1,
+                 num_workers=0, lookahead=2):
         """batch_size is the GLOBAL batch.  Under a multi-process runtime
         (jax.distributed; parallel.distributed) pass this process's rank
         and the process count: the batch index sequence is
         seed-deterministic and identical on every process, and each
         process materializes (decodes, crops) ONLY its contiguous row
         block [rank*B/P, (rank+1)*B/P) of every batch — together the
-        ranks reconstruct exactly the single-process batches."""
+        ranks reconstruct exactly the single-process batches.
+
+        num_workers > 1 assembles episodes on a thread pool — the
+        TPU-native replacement for the reference's 8 DataLoader worker
+        PROCESSES (train.py:57-59): cv2 imdecode/resize and the numpy
+        crop math release the GIL, so threads scale the cache-cold
+        decode path without per-process support caches going cold
+        independently.  Episode content is index-deterministic
+        (default_rng((seed, index)) per item), so worker parallelism
+        cannot change WHAT is produced — only when (determinism pinned
+        by tests/test_distributed.py).  `lookahead` extra batches are
+        kept in flight so a straggler decode in batch k overlaps batch
+        k+1's assembly."""
         if batch_size % max(1, process_count):
             raise ValueError(
                 f'global batch {batch_size} must divide evenly over '
@@ -300,6 +314,8 @@ class EpisodicBatcher:
         self.drop_last = drop_last
         self.process_id = process_id
         self.process_count = max(1, process_count)
+        self.num_workers = int(num_workers)
+        self.lookahead = max(1, int(lookahead))
         self._epoch = 0
 
     def _index_batches(self):
@@ -335,9 +351,47 @@ class EpisodicBatcher:
         self._epoch += 1
         per = self.batch_size // self.process_count
         lo = self.process_id * per
-        for batch_idx in self._index_batches():
-            items = [self.loader[i] for i in batch_idx[lo:lo + per]]
-            yield {k: np.stack([it[k] for it in items]) for k in items[0]}
+        rows = [b[lo:lo + per] for b in self._index_batches()]
+        if self.num_workers <= 1:
+            for batch_idx in rows:
+                items = [self.loader[i] for i in batch_idx]
+                yield {k: np.stack([it[k] for it in items])
+                       for k in items[0]}
+            return
+        yield from self._iter_workers(rows)
+
+    def _iter_workers(self, rows):
+        """Thread-pool episode assembly, pipelined `lookahead` batches
+        deep; batches yield in index order regardless of completion
+        order."""
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        ex = ThreadPoolExecutor(max_workers=self.num_workers,
+                                thread_name_prefix='dana-episode')
+        try:
+            pending = deque()
+            it = iter(rows)
+
+            def submit_next():
+                batch_idx = next(it, None)
+                if batch_idx is not None:
+                    pending.append(
+                        [ex.submit(self.loader.__getitem__, i)
+                         for i in batch_idx])
+
+            for _ in range(1 + self.lookahead):
+                submit_next()
+            while pending:
+                futs = pending.popleft()
+                items = [f.result() for f in futs]
+                submit_next()
+                yield {k: np.stack([it_[k] for it_ in items])
+                       for k in items[0]}
+        finally:
+            # abandonment mid-epoch (GeneratorExit) must not strand
+            # worker threads on in-flight decodes
+            ex.shutdown(wait=False, cancel_futures=True)
 
     def __len__(self):
         return len(self._index_batches())

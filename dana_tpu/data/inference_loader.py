@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import glob
 import os.path as osp
+import warnings
 
 import numpy as np
 
@@ -389,6 +390,23 @@ class ALLCLSFSLoader(InferenceLoader):
                 raise ValueError('directory mode follows the reference '
                                  'fixed-seed protocol; seed applies to '
                                  'crop mode only')
+            # The per-item target class is DETERMINISTIC (Random(0) over
+            # first-appearance gt order, allcls_fs_loader.py:87-92), so
+            # the exact set of classes the eval will ever sample supports
+            # for is computable here.  Only those may hard-fail on a
+            # short pool — the reference (allcls_fs_loader.py:108
+            # random.sample) never touches the rest, and an eval that was
+            # runnable there must stay runnable here (advisor r4).
+            import random as _pyrandom
+            reachable = set()
+            for r in roidb:
+                seen = []
+                for c in r['gt_classes']:
+                    if int(c) and int(c) not in seen:
+                        seen.append(int(c))
+                if seen:
+                    reachable.add(
+                        int(_pyrandom.Random(0).sample(seen, k=1)[0]))
             self._paths = {}
             for cls_ind, name in enumerate(classes):
                 if name == '__background__':
@@ -405,11 +423,16 @@ class ALLCLSFSLoader(InferenceLoader):
                     # __getitem__'s exact-reference random.sample would
                     # raise ValueError — but only when this class first
                     # appears as a target, possibly hours in; surface the
-                    # shortfall at construction instead
-                    raise ValueError(
-                        f'{osp.join(support_dir, name)} has {len(files)} '
-                        f'support images but num_shot={num_shot}; the '
-                        f'reference protocol samples without replacement')
+                    # shortfall at construction instead.  Classes that can
+                    # never be a target only warn.
+                    msg = (f'{osp.join(support_dir, name)} has '
+                           f'{len(files)} support images but '
+                           f'num_shot={num_shot}; the reference protocol '
+                           f'samples without replacement')
+                    if cls_ind in reachable:
+                        raise ValueError(msg)
+                    warnings.warn(msg + ' (class never sampled as a '
+                                  'target in this roidb; continuing)')
                 self._paths[cls_ind] = files
             pool = None
         else:

@@ -168,6 +168,16 @@ def _default_cfg() -> AttrDict:
     # 256 bounds each loader's cache at ~300 MB: large pools (real COCO)
     # have weak recurrence anyway, and small synth pools fit entirely.
     c.TPU.SUPPORT_CACHE = 256
+    # Byte-bounded LRU of DECODED source images (uint8 BGR), shared by
+    # every imread path (queries, support crops, directory pools).  On a
+    # host whose cores cannot re-decode JPEGs at chip speed, a cache-hot
+    # support crop costs crop+resize (~1 ms) instead of a full source
+    # decode (~3-5 ms) — the fix for large support pools where the
+    # crop-level FIFO above misses constantly (real COCO: 60 classes x
+    # thousands of crops).  2048 MB holds ~2k decoded COCO images;
+    # size toward ~60000 MB to hold all of train2014 on large-RAM
+    # hosts.  0 disables.
+    c.TPU.IMAGE_CACHE_MB = 2048
     # Query images are padded onto static (H, W) bucket canvases so each
     # bucket compiles exactly once (replaces per-batch dynamic padding).
     # Covers shortest-side-600 uncapped scaling up to aspect 2 (landscape,

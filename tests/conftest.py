@@ -37,6 +37,9 @@ import pytest  # noqa: E402
 def _fresh_cfg():
     """Reset the global config around every test."""
     from dana_tpu.utils.config import reset_cfg
+    from dana_tpu.data import blob
     reset_cfg()
+    blob.clear_image_cache()   # tests may reuse a path with new pixels
     yield
     reset_cfg()
+    blob.clear_image_cache()

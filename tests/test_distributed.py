@@ -161,15 +161,88 @@ def test_episodic_batcher_short_bucket_fills_batch():
             return {'x': np.full((2, 2), i, np.float32)}
 
     for n in (1, 3, 5):
-        single = list(EpisodicBatcher(FakeLoader(n), 8, seed=0))
+        # drop_last=False is the path under test: the default (True)
+        # silently drops the short bucket, leaving zero batches and a
+        # vacuous loop (advisor r4)
+        single = list(EpisodicBatcher(FakeLoader(n), 8, seed=0,
+                                      drop_last=False))
+        assert len(single) == 1
         assert all(b['x'].shape[0] == 8 for b in single)
         ranks = [list(EpisodicBatcher(FakeLoader(n), 8, seed=0,
+                                      drop_last=False,
                                       process_id=r, process_count=2))
                  for r in (0, 1)]
+        assert len(ranks[0]) == len(ranks[1]) == 1
         for sb, r0, r1 in zip(single, *ranks):
             assert r0['x'].shape[0] == r1['x'].shape[0] == 4
             np.testing.assert_array_equal(
                 sb['x'], np.concatenate([r0['x'], r1['x']]))
+
+
+def test_episodic_batcher_workers_deterministic():
+    """num_workers must never change WHAT is produced: the same seed
+    yields bit-identical batch sequences at 0, 2 and 4 workers, and the
+    per-rank row blocks still reassemble the single-process batches
+    (replaces the reference's 8-process DataLoader, train.py:57-59)."""
+    from dana_tpu.data.fs_loader import EpisodicBatcher
+
+    class FakeLoader:
+        def __init__(self, n):
+            self.n = n
+
+        def valid_indices(self):
+            return list(range(self.n))
+
+        def bucket_of(self, i):
+            return i % 2
+
+        def __getitem__(self, i):
+            # deterministic in the index, like FewShotLoader's
+            # default_rng((seed, index)) episodes
+            rng = np.random.default_rng((7, i))
+            return {'x': rng.normal(size=(3, 3)).astype(np.float32),
+                    'i': np.int32(i)}
+
+    base = list(EpisodicBatcher(FakeLoader(32), 4, seed=5))
+    assert len(base) == 8
+    for nw in (2, 4):
+        got = list(EpisodicBatcher(FakeLoader(32), 4, seed=5,
+                                   num_workers=nw))
+        assert len(got) == len(base)
+        for b, g in zip(base, got):
+            np.testing.assert_array_equal(b['x'], g['x'])
+            np.testing.assert_array_equal(b['i'], g['i'])
+    # workers x multi-process: each rank's row block is unchanged
+    ranks = [list(EpisodicBatcher(FakeLoader(32), 4, seed=5,
+                                  num_workers=3,
+                                  process_id=r, process_count=2))
+             for r in (0, 1)]
+    for sb, r0, r1 in zip(base, *ranks):
+        np.testing.assert_array_equal(
+            sb['x'], np.concatenate([r0['x'], r1['x']]))
+
+
+def test_episodic_batcher_workers_abandoned_mid_epoch():
+    """Abandoning the iterator mid-epoch (preemption) must not hang on
+    in-flight worker futures."""
+    from dana_tpu.data.fs_loader import EpisodicBatcher
+
+    class FakeLoader:
+        def valid_indices(self):
+            return list(range(16))
+
+        def bucket_of(self, i):
+            return 0
+
+        def __getitem__(self, i):
+            return {'x': np.full((2,), i, np.float32)}
+
+    b = EpisodicBatcher(FakeLoader(), 4, seed=0, num_workers=2)
+    it = iter(b)
+    next(it)
+    it.close()   # GeneratorExit -> executor shutdown(cancel_futures)
+    # a fresh epoch still works after the abandoned one
+    assert len(list(iter(b))) == 4
 
 
 def test_agree_stop_single_process_passthrough():

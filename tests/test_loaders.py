@@ -177,6 +177,36 @@ def test_allcls_directory_mode_validates_shot_count(synth, tmp_path):
                    support_dir=str(sdir))
 
 
+def test_allcls_short_pool_warns_for_unreachable_class(tmp_path):
+    """A short pool only hard-fails for classes the deterministic
+    target-class rule can actually sample; others degrade to a warning
+    so previously-runnable evals stay runnable (reference
+    allcls_fs_loader.py:108 raises only when sampled; advisor r4)."""
+    import cv2
+    import warnings as _warnings
+    classes = ('__background__', 'used', 'unused')
+    # roidb only ever contains class 1 -> class 2 is never a target
+    roidb = [{'gt_classes': np.array([1]),
+              'boxes': np.array([[2, 2, 20, 20]], np.float32),
+              'image': 'x.jpg', 'flipped': False}]
+    sdir = tmp_path / 'supports'
+    im = np.zeros((32, 32, 3), np.uint8)
+    for name, count in (('used', 3), ('unused', 1)):
+        d = sdir / name
+        d.mkdir(parents=True)
+        for k in range(count):
+            cv2.imwrite(str(d / f's{k}.jpg'), im)
+    with _warnings.catch_warnings(record=True) as rec:
+        _warnings.simplefilter('always')
+        ALLCLSFSLoader(roidb, classes=classes, num_shot=3,
+                       support_dir=str(sdir))
+    assert any('never sampled as a target' in str(w.message) for w in rec)
+    # but a short REACHABLE class still fails fast at construction
+    with pytest.raises(ValueError, match='support images but num_shot'):
+        ALLCLSFSLoader(roidb, classes=classes, num_shot=4,
+                       support_dir=str(sdir))
+
+
 def test_support_cache_exact(tmp_path, monkeypatch):
     """Decoded-support FIFO cache returns bit-identical episodes."""
     import numpy as np
@@ -197,6 +227,85 @@ def test_support_cache_exact(tmp_path, monkeypatch):
         a, b = warm[i], cold[i]
         for k in a:
             np.testing.assert_array_equal(a[k], b[k])
+
+
+def test_image_cache_lru_and_identity(tmp_path):
+    """ImageCache: hits return the stored pixels bit-exactly, byte
+    budget evicts LRU-first, cached decodes are immutable, and
+    imread_bgr through the cache equals the uncached decode."""
+    import cv2
+    from dana_tpu.data import blob
+    from dana_tpu.utils.config import cfg
+
+    paths = []
+    for k in range(3):
+        p = str(tmp_path / f'im{k}.png')   # lossless: decode == pixels
+        cv2.imwrite(p, np.full((64, 64, 3), 40 * k + 10, np.uint8))
+        paths.append(p)
+
+    cache = blob.ImageCache(cap_mb=1)      # 1 MB ~= 85 of these (12 KB)
+    a = cv2.imread(paths[0], cv2.IMREAD_COLOR)
+    cache.put(paths[0], a)
+    hit = cache.get(paths[0])
+    np.testing.assert_array_equal(hit, a)
+    assert not hit.flags.writeable
+    with pytest.raises(ValueError):
+        hit[0, 0, 0] = 1
+
+    tiny = blob.ImageCache(cap_mb=0)       # evicts everything oversized
+    assert tiny.put(paths[0], a) is a      # too big to store: passthrough
+    assert tiny.get(paths[0]) is None
+
+    # LRU order: refresh im0, insert until budget forces an eviction —
+    # im1 (least recent) must go first
+    small = blob.ImageCache(cap_mb=1)
+    small.cap_bytes = 2 * a.nbytes + 10
+    im1 = cv2.imread(paths[1], cv2.IMREAD_COLOR)
+    im2 = cv2.imread(paths[2], cv2.IMREAD_COLOR)
+    small.put(paths[0], a)
+    small.put(paths[1], im1)
+    assert small.get(paths[0]) is not None   # im0 now most-recent
+    small.put(paths[2], im2)                 # evicts im1
+    assert small.get(paths[1]) is None
+    assert small.get(paths[0]) is not None
+    assert small.get(paths[2]) is not None
+
+    # end-to-end: cached imread_bgr == cold imread_bgr
+    cfg.TPU.IMAGE_CACHE_MB = 64
+    blob.clear_image_cache()
+    first = blob.imread_bgr(paths[0])
+    second = blob.imread_bgr(paths[0])      # hit path
+    assert first is not second              # always a fresh f32 array
+    np.testing.assert_array_equal(first, second)
+    cfg.TPU.IMAGE_CACHE_MB = 0
+    blob.clear_image_cache()
+    cold = blob.imread_bgr(paths[0])
+    np.testing.assert_array_equal(cold, second)
+    assert cold.dtype == second.dtype == np.float32
+
+
+def test_fewshot_episodes_identical_with_image_cache(synth):
+    """Episodes are bit-identical with the decoded-image cache on/off."""
+    from dana_tpu.data import blob
+    from dana_tpu.utils.config import cfg
+    imdb_, roidb = synth
+
+    cfg.TPU.IMAGE_CACHE_MB = 0
+    blob.clear_image_cache()
+    off = FewShotLoader(roidb, imdb_.num_classes, num_way=2, num_shot=2,
+                        seed=11)
+    ref = [off[i] for i in range(4)]
+
+    cfg.TPU.IMAGE_CACHE_MB = 256
+    blob.clear_image_cache()
+    on = FewShotLoader(roidb, imdb_.num_classes, num_way=2, num_shot=2,
+                       seed=11)
+    for i in range(4):          # twice: second pass rides cache hits
+        for _pass in range(2):
+            item = on[i]
+            for k in ref[i]:
+                np.testing.assert_array_equal(ref[i][k], item[k])
+    blob.clear_image_cache()
 
 
 def test_inference_loader_skip_supports(synth):

@@ -109,10 +109,14 @@ def main(argv=None):
                                seed=args.seed)
     # under --dist each process materializes only its row block of every
     # (seed-deterministic, identical-on-all-ranks) global batch
+    # --nw worker threads assemble episodes in parallel (the reference's
+    # 8 DataLoader worker processes, train.py:57-59); content is
+    # index-deterministic so worker count never changes the batches
     batcher = EpisodicBatcher(loader, args.batch_size, shuffle=True,
                               seed=args.seed,
                               process_id=jax.process_index(),
-                              process_count=jax.process_count())
+                              process_count=jax.process_count(),
+                              num_workers=args.num_workers)
 
     config, params = get_model(args.net, way=args.way, shot=args.shot,
                                net=args.backbone, seed=args.seed)
@@ -280,7 +284,18 @@ def main(argv=None):
 
         trace_active = False
         preempted = False
+        # Multi-process preemption votes are a blocking cross-host DCN
+        # collective (process_allgather in agree_stop); vote only every
+        # disp_interval loop iterations — the iteration sequence is
+        # seed-deterministic and identical on every rank, so all ranks
+        # reach each vote boundary together and none strands its peers
+        # in the collective (advisor r4).  Single-process keeps the
+        # per-iteration local-flag read (no collective, free).
+        vote_every = (max(1, args.disp_interval)
+                      if jax.process_count() > 1 else 1)
+        it_count = 0
         for n, metrics in run_batches(it):
+            it_count += 1
             if args.profile and global_step == 3:
                 jax.profiler.start_trace(args.profile)
                 trace_active = True
@@ -300,11 +315,17 @@ def main(argv=None):
                 print(f'[epoch {epoch:2d}][iter {steps:4d}] '
                       f'lr: {lr:.2e}, time/iter: {dt / steps:.3f}s, {msg}',
                       flush=True)
-            if stop_requested():
+            if it_count % vote_every == 0 and stop_requested():
                 # break AFTER accounting: the step that just ran is in
                 # `state` and must be reflected in steps/metrics
                 preempted = True
                 break
+        # epoch-boundary vote: bounds preemption latency to one epoch
+        # even when the epoch is shorter than vote_every (all ranks exit
+        # the loop together, so the collective is still synchronized).
+        # The epoch itself completed, so the save below is a NORMAL
+        # per-epoch checkpoint — only the exit is early.
+        stop_after_epoch = not preempted and stop_requested()
         if trace_active:
             jax.block_until_ready(state.params)
             jax.profiler.stop_trace()
@@ -344,7 +365,7 @@ def main(argv=None):
                 pooling_mode=cfg.POOLING_MODE, backend=args.ckpt_backend)
             print(f'[epoch {epoch:2d}] saved {path} '
                   f'({time.time() - t0:.1f}s, {steps} iters)')
-        if preempted:
+        if preempted or stop_after_epoch:
             # beyond the reference, which loses everything since its
             # last per-epoch save (train.py:183-189)
             print('preemption checkpoint written; exiting')
