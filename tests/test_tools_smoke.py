@@ -164,3 +164,42 @@ def test_seed_sweep_resume(tmp_path):
     ])
     assert abs(summary['ap']['mean'] - 0.75) < 1e-9
     assert summary['ap50']['min'] == 0.9 and summary['ap50']['max'] == 1.0
+
+
+def test_round5_study_tools_helpers(tmp_path):
+    """Round-5 tools: import rot guard + pure-helper checks (the
+    heavyweight measure paths run on the TPU box / quiet host only)."""
+    from tools import bs16_sched_probe as bsp
+    # op histogram regex: parses representative optimized-HLO lines
+    sample = (
+        '  %fusion.1 = f32[8]{0} fusion(%p0), kind=kLoop, calls=%fused_computation.1\n'
+        '  %copy-start.3 = (f32[2]{0}, f32[2]{0}, u32[]) copy-start(%x)\n'
+        '  %copy-done.3 = f32[2]{0} copy-done(%copy-start.3)\n'
+        '  ROOT %while.2 = (s32[]) while(%init), condition=%c, body=%b\n'
+        '  %convert.9 = bf16[4]{0} convert(%y)\n')
+    from collections import Counter
+    counts = Counter(m.group(1) for m in bsp._OP_RE.finditer(sample))
+    assert counts['fusion'] == 1 and counts['while'] == 1
+    assert counts['copy-start'] == 1 and counts['copy-done'] == 1
+    assert counts['convert'] == 1
+
+    from tools import loader_feed_bench as lfb
+    roidb, num_classes = lfb.build_pool(str(tmp_path / 'pool'), 6,
+                                        num_classes=5)
+    assert len(roidb) == 6 and num_classes == 6
+    from dana_tpu.data.fs_loader import build_support_db
+    assert sum(len(p) for p in build_support_db(roidb, num_classes)) > 0
+    # pool build is deterministic across invocations (images reused)
+    roidb2, _ = lfb.build_pool(str(tmp_path / 'pool'), 6, num_classes=5)
+    np.testing.assert_array_equal(roidb[0]['boxes'], roidb2[0]['boxes'])
+    rates = lfb.run_arm(roidb, num_classes, sup_cache=0, image_mb=0,
+                        nw=0, bs=2, epochs=1, episodes_per_epoch=4)
+    assert len(rates) == 1 and rates[0] > 0
+    rates_w = lfb.run_arm(roidb, num_classes, sup_cache=256,
+                          image_mb=64, nw=2, bs=2, epochs=1,
+                          episodes_per_epoch=4)
+    assert rates_w[0] > 0
+    dec = lfb.decomposition(roidb, num_classes, 64)
+    assert dec['crop_source_hit_ms'] <= dec['crop_miss_ms'] * 1.5
+    from dana_tpu.data import blob
+    blob.clear_image_cache()

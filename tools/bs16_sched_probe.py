@@ -37,7 +37,10 @@ if int(os.environ.get('PROF_DRY', '0')):
 import utils as _cli_utils; _cli_utils.enable_compilation_cache()  # noqa: E702
 import jax.numpy as jnp  # noqa: E402
 
-from bs_regress_probe import make_batch, mem_info  # noqa: E402
+try:
+    from bs_regress_probe import make_batch, mem_info  # noqa: E402
+except ImportError:       # imported as tools.bs16_sched_probe
+    from tools.bs_regress_probe import make_batch, mem_info  # noqa: E402
 
 
 _OP_RE = re.compile(r'^\s*(?:ROOT\s+)?%?[\w.\-]+\s*=\s*[^=]*?\b'
