@@ -14,8 +14,9 @@ import pytest
 
 sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
-pytestmark = pytest.mark.skipif(len(jax.devices()) < 4,
-                                reason='needs multi-device CPU platform')
+pytestmark = [pytest.mark.slow,
+              pytest.mark.skipif(len(jax.devices()) < 4,
+                                 reason='needs multi-device CPU platform')]
 
 
 def test_rehearsal_tree_and_pth_roundtrip(tmp_path):

@@ -107,6 +107,7 @@ def _assert_detections_match(path_a, path_b, coord_atol=1e-4):
                         ra[:, 4], rb[:, 4], rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_inference_cli_mgpus_matches_single(tmp_path, monkeypatch):
     """--mGPUs data-parallel eval (batch sharded over the CPU mesh)
     produces the same detections as the single-device run."""
@@ -124,6 +125,7 @@ def test_inference_cli_mgpus_matches_single(tmp_path, monkeypatch):
     _assert_detections_match(out1, out2)
 
 
+@pytest.mark.slow
 def test_inference_cli_tp_matches_single(tmp_path, monkeypatch):
     """--tp 2 latency-mode eval (projection weights column-sharded over
     the mesh 'model' axis, inference.py --tp) produces the same
@@ -142,6 +144,7 @@ def test_inference_cli_tp_matches_single(tmp_path, monkeypatch):
     _assert_detections_match(out1, out2)
 
 
+@pytest.mark.slow
 def test_inference_cli_sp_matches_single(tmp_path, monkeypatch):
     """--sp 2 spatial-partitioned eval (each query's H axis sharded over
     the mesh 'model' axis; GSPMD inserts the conv halo exchanges,
@@ -178,6 +181,7 @@ def test_inference_cli_tp_sp_mutually_exclusive(tmp_path, monkeypatch):
                                         '--sp', '2'])
 
 
+@pytest.mark.slow
 def test_inference_cli_tp_int8_combo(tmp_path, monkeypatch):
     """--tp 2 composes with the int8 PTQ serving path (int8 leaves are
     replicated; only f32 'weight' leaves column-shard)."""

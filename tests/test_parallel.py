@@ -30,6 +30,7 @@ def _batch(b):
     }
 
 
+@pytest.mark.slow
 def test_sharded_train_step_matches_single_device():
     n = min(4, len(jax.devices()))
     params = to_jnp(dana.init_params(CFG, seed=0))
@@ -53,6 +54,7 @@ def test_sharded_train_step_matches_single_device():
                                    atol=1e-5)
 
 
+@pytest.mark.slow
 def test_multistep_sharded_trajectory_matches_single_device():
     """A multi-step trajectory on the CPU mesh reproduces the
     single-device loss trajectory (proves the data-parallel grad
@@ -139,6 +141,7 @@ def test_make_mesh_2d_extent_inference():
         assert m.shape == {'data': 4, 'model': 2}
 
 
+@pytest.mark.slow
 def test_dp_tp_2d_mesh_train_step_matches_single_device():
     """One step on a 2-D (data, model) mesh — batch sharded over `data`,
     wide head weights column-sharded over `model` (our TP extension; the
@@ -282,6 +285,7 @@ def test_dtype_knob_rejects_typos():
         _dt_or_none('bfloat')
 
 
+@pytest.mark.slow
 def test_dcn_two_level_mesh_matches_single_device():
     """Two-level (slice, data) multi-slice DP (parallel.make_mesh_dcn):
     the batch shards over BOTH axes and the gradient all-reduce

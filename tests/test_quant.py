@@ -13,6 +13,7 @@ import sys
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
@@ -117,6 +118,7 @@ def test_quantized_stem_s2d_matches_direct():
     np.testing.assert_allclose(packed, direct, rtol=2e-2, atol=2e-2)
 
 
+@pytest.mark.slow
 def test_quantize_params_full_forward():
     """Full DAnA forward on a quantized tree: runs, finite, and ranks
     proposals similarly to float."""

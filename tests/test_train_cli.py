@@ -21,6 +21,7 @@ pytestmark = pytest.mark.skipif(len(jax.devices()) < 4,
                                 reason='needs multi-device CPU platform')
 
 
+@pytest.mark.slow
 def test_train_cli_preemption_checkpoints_and_rewinds_epoch(tmp_path,
                                                             monkeypatch):
     """A preemption request after the first step writes a checkpoint
@@ -71,6 +72,7 @@ def test_train_cli_preemption_checkpoints_and_rewinds_epoch(tmp_path,
     assert any(c.startswith('model_1_') for c in ckpts), ckpts
 
 
+@pytest.mark.slow
 def test_train_cli_mgpus_smoke(tmp_path, monkeypatch):
     monkeypatch.setenv('DANA_SYNTH_ROOT', str(tmp_path / 'synth'))
     save_dir = str(tmp_path / 'run')
@@ -106,6 +108,7 @@ def test_train_cli_mgpus_smoke(tmp_path, monkeypatch):
         assert np.all(np.isfinite(np.asarray(leaf)))
 
 
+@pytest.mark.slow
 def test_train_cli_slices_shards_batch_over_both_axes(tmp_path,
                                                       monkeypatch):
     """--slices N through the REAL CLI loop: the batch must shard over
