@@ -163,11 +163,15 @@ def _default_cfg() -> AttrDict:
     c.TPU.HEAD_DTYPE = 'float32'
     c.TPU.PARAM_DTYPE = 'float32'
     # decoded-support FIFO cache entries in the episodic loaders (each
-    # ~1.2 MB at 320^2 f32; support pools are small so crops recur every
-    # few episodes — re-decoding dominated host prep).  0 disables.
-    # 256 bounds each loader's cache at ~300 MB: large pools (real COCO)
-    # have weak recurrence anyway, and small synth pools fit entirely.
-    c.TPU.SUPPORT_CACHE = 256
+    # ~1.2 MB at 320^2 f32; re-decoding supports dominated host prep).
+    # 0 disables.  2048 bounds each loader's cache at ~2.5 GB — TPU
+    # hosts trade RAM for feed rate: a FIFO covering the whole crop pool
+    # makes steady-state episode prep QUERY-bound (measured 4.3x the
+    # 256-entry feed rate on a 2.7k-crop pool, PERF.md round-5 loader
+    # feed study; uniform draws give hit rate ~= cap/pool, so size this
+    # to the pool when RAM allows).  Pools far beyond any sane cap
+    # (real-COCO 100k+ crops) instead lean on IMAGE_CACHE_MB below.
+    c.TPU.SUPPORT_CACHE = 2048
     # Byte-bounded LRU of DECODED source images (uint8 BGR), shared by
     # every imread path (queries, support crops, directory pools).  On a
     # host whose cores cannot re-decode JPEGs at chip speed, a cache-hot

@@ -200,6 +200,9 @@ def main():
         'B_fifo_only': dict(sup_cache=256, image_mb=0, nw=0),
         'C_image_lru': dict(sup_cache=256, image_mb=2048, nw=0),
         'D_workers': dict(sup_cache=256, image_mb=2048, nw=args.nw),
+        # FIFO sized to the pool (f32 crops are 1.2 MB each — RAM is the
+        # cheap resource on TPU hosts): steady state becomes query-bound
+        'E_pool_fifo': dict(sup_cache=n_crops + 1, image_mb=2048, nw=0),
     }
     out = {'device_eps_bs8': DEVICE_EPS_BS8, 'device_eps_bs4': DEVICE_EPS_BS4}
     for name, kw in arms.items():

@@ -111,12 +111,17 @@ def main(argv=None):
     # (seed-deterministic, identical-on-all-ranks) global batch
     # --nw worker threads assemble episodes in parallel (the reference's
     # 8 DataLoader worker processes, train.py:57-59); content is
-    # index-deterministic so worker count never changes the batches
+    # index-deterministic so worker count never changes the batches.
+    # Capped at the host's core count: on a 1-core host thread switching
+    # measured -14% feed rate with zero upside (PERF.md round-5 loader
+    # feed study, arm D) — the cap degrades to the sequential path there
+    # while multi-core hosts keep the reference's 8-way assembly.
+    num_workers = min(args.num_workers, os.cpu_count() or 1)
     batcher = EpisodicBatcher(loader, args.batch_size, shuffle=True,
                               seed=args.seed,
                               process_id=jax.process_index(),
                               process_count=jax.process_count(),
-                              num_workers=args.num_workers)
+                              num_workers=num_workers)
 
     config, params = get_model(args.net, way=args.way, shot=args.shot,
                                net=args.backbone, seed=args.seed)
