@@ -318,3 +318,50 @@ def test_inference_loader_skip_supports(synth):
     item = loader[0]
     assert 'support_ims' not in item
     assert 'im_data' in item and 'target_cls' in item
+
+
+def test_caches_thread_safe_under_contention(tmp_path):
+    """FIFOCache and ImageCache under N threads of mixed get/put: no
+    lost updates, no exceptions, eviction bounds hold (EpisodicBatcher
+    workers share both caches)."""
+    import threading
+    import cv2
+    from dana_tpu.data import blob
+
+    fifo = blob.FIFOCache(cap=16)
+    img = blob.ImageCache(cap_mb=1)
+    paths = []
+    for k in range(8):
+        p = str(tmp_path / f'c{k}.png')
+        cv2.imwrite(p, np.full((32, 32, 3), 10 * k, np.uint8))
+        paths.append(p)
+    decoded = {p: cv2.imread(p, cv2.IMREAD_COLOR) for p in paths}
+    errors = []
+
+    def worker(tid):
+        rng = np.random.default_rng(tid)
+        try:
+            for i in range(400):
+                k = int(rng.integers(0, 32))
+                hit = fifo.get(k)
+                if hit is None:
+                    hit = fifo.put(k, np.full((4,), k, np.float32))
+                assert hit[0] == k      # value always matches its key
+                p = paths[int(rng.integers(0, len(paths)))]
+                arr = img.get(p)
+                if arr is None:
+                    arr = img.put(p, decoded[p])
+                np.testing.assert_array_equal(arr, decoded[p])
+        except Exception as e:          # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(t,))
+               for t in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert len(fifo._d) <= 16
+    assert img._bytes <= img.cap_bytes
+    assert img._bytes == sum(a.nbytes for a in img._d.values())
