@@ -278,9 +278,15 @@ def main(argv=None):
     # the TPU runs the current one (the reference loop is fully serial,
     # inference.py:88-105)
     from concurrent.futures import ThreadPoolExecutor
-    pool_exec = ThreadPoolExecutor(max_workers=2)
-    pending = [pool_exec.submit(assemble, c) for c in chunks[:4]]
-    next_submit = 4
+    # width scales with host cores like train.py's --nw cap: extra
+    # threads on a 1-core host measured negative (PERF.md round-5
+    # loader feed study, arm D), while multi-core hosts keep more
+    # chunks assembling per device step
+    eval_workers = max(2, min(8, os.cpu_count() or 1))
+    pool_exec = ThreadPoolExecutor(max_workers=eval_workers)
+    lookahead = 2 * eval_workers
+    pending = [pool_exec.submit(assemble, c) for c in chunks[:lookahead]]
+    next_submit = lookahead
 
     t0 = time.time()
     n_done = 0
