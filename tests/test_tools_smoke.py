@@ -203,3 +203,43 @@ def test_round5_study_tools_helpers(tmp_path):
     assert dec['crop_source_hit_ms'] <= dec['crop_miss_ms'] * 1.5
     from dana_tpu.data import blob
     blob.clear_image_cache()
+
+
+def test_bench_measure_rate_median_and_spread():
+    """bench._measure_rate: differenced-median math — median of the
+    per-repeat rates, spread = (min, max), and the degenerate
+    non-increasing timing clamps instead of dividing by <=0."""
+    import importlib
+    bench = importlib.import_module('bench')
+
+    # timed(n) = 1s fixed dispatch + n * per-call, per-call varies by
+    # repeat: rates should be work/per_call per repeat
+    per_calls = iter([0.10, 0.10, 0.20, 0.20, 0.40,
+                      0.10, 0.20, 0.40, 0.20, 0.10])
+
+    class Timer:
+        def __init__(self):
+            self.cur = None
+            self.calls = 0
+
+        def __call__(self, n):
+            if self.calls % 2 == 0:
+                self.cur = next(per_calls)
+            self.calls += 1
+            return 1.0 + n * self.cur
+
+    med, (lo, hi) = bench._measure_rate(Timer(), work=8, calls=(1, 9),
+                                        repeats=5)
+    # rates = 8/percall = [80, 40, 20] pattern -> sorted [20,20,40,40,80]
+    assert med == pytest.approx(40.0)
+    assert lo == pytest.approx(20.0) and hi == pytest.approx(80.0)
+
+    # even repeat count -> mean of middle two
+    med2, _ = bench._measure_rate(Timer(), work=8, calls=(1, 9),
+                                  repeats=4)
+    assert med2 == pytest.approx((40.0 + 40.0) / 2)
+
+    # non-increasing wall (tunnel hiccup): clamped, never negative/inf
+    med3, (lo3, hi3) = bench._measure_rate(lambda n: 1.0, work=8,
+                                           repeats=3)
+    assert np.isfinite(med3) and med3 > 0 and lo3 > 0 and hi3 > 0
