@@ -32,7 +32,7 @@ BASELINE_IMGS_PER_SEC = 5.0
 # Every reported number is the MEDIAN of this many independent
 # differenced measurements, with [min, max] spread recorded next to it
 # (VERDICT r4: a single-shot bench swung -24% with no code change).
-REPEATS = int(os.environ.get('BENCH_REPEATS', '5'))
+REPEATS = max(1, int(os.environ.get('BENCH_REPEATS', '5')))
 
 
 def _measure_rate(timed, work, calls=(1, 9), repeats=None):
@@ -166,11 +166,16 @@ def main():
     # this (348.7 < 368.7) from unrepeated measurement noise; if the
     # MEDIANS still cross, re-measure both once at double the repeats
     # before accepting the result.
+    inference_repeats = REPEATS
     if imgs_per_sec_cached < imgs_per_sec:
+        inference_repeats = 2 * REPEATS
         imgs_per_sec, imgs_minmax = _measure_rate(
-            timed, batch * iters, repeats=2 * REPEATS)
+            timed, batch * iters, repeats=inference_repeats)
         imgs_per_sec_cached, cached_minmax = _measure_rate(
-            timed_cached, batch * iters, repeats=2 * REPEATS)
+            timed_cached, batch * iters, repeats=inference_repeats)
+    # surfaced in the JSON so a reader can tell the protocol deviated
+    # and whether the physically-impossible ordering survived it
+    invariant_violated = bool(imgs_per_sec_cached < imgs_per_sec)
 
     # int8-quantized serving variant (dana_tpu/quant.py): PTQ of the
     # MXU-bound RoI tail + int8 RoIAlign matmul — the production
@@ -251,6 +256,9 @@ def main():
         # (BASELINE.md): denominator is an assumed 5 img/s GPU loop
         'precision': 'bf16+f32head',  # AP-parity serving recipe (PERF.md)
         'bench_repeats': REPEATS,   # every number = median of this many
+        # inference pair re-measured at 2x repeats when cached < uncached
+        'inference_repeats': inference_repeats,
+        'cached_invariant_violated': invariant_violated,
         'value_minmax': _mm(imgs_minmax),
         'inference_mfu_pct': round(100 * mfu, 2),
         'inference_gflop_per_img': round(

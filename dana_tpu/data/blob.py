@@ -106,7 +106,13 @@ class ImageCache:
     costs crop+resize instead of a JPEG decode.  Values are stored with
     writeable=False and returned without copying; callers convert with
     astype (always a fresh array).  Thread-safe for EpisodicBatcher's
-    worker pool."""
+    worker pool.
+
+    Keys are paths and entries NEVER invalidate: dataset images are
+    assumed immutable for the process lifetime (true of every loader
+    here — roidbs are built once from an on-disk layout).  A process
+    that rewrites image files in place must call clear_image_cache()
+    (tests do) or run with IMAGE_CACHE_MB=0."""
 
     def __init__(self, cap_mb):
         import threading as _threading

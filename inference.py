@@ -284,7 +284,10 @@ def main(argv=None):
     # chunks assembling per device step
     eval_workers = max(2, min(8, os.cpu_count() or 1))
     pool_exec = ThreadPoolExecutor(max_workers=eval_workers)
-    lookahead = 2 * eval_workers
+    # each in-flight chunk buffers its full batch on the host (~200 MB
+    # at bs8 608x1024 with supports), so the lookahead is capped rather
+    # than scaled 2x with the worker count
+    lookahead = min(eval_workers + 2, 8)
     pending = [pool_exec.submit(assemble, c) for c in chunks[:lookahead]]
     next_submit = lookahead
 

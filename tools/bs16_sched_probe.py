@@ -25,11 +25,13 @@ Outcome recorded in PERF.md (round-5) and .scratch/bs16_sched_probe.json.
 import argparse
 import json
 import os
+import os.path as osp
 import re
 import sys
 from collections import Counter
 
-sys.path.insert(0, '/root/repo')
+REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 import jax
 if int(os.environ.get('PROF_DRY', '0')):
@@ -104,8 +106,9 @@ def main():
         same = not delta
         print(json.dumps({'structurally_identical': same,
                           'differing_op_counts': delta}))
-    os.makedirs('/root/repo/.scratch', exist_ok=True)
-    with open('/root/repo/.scratch/bs16_sched_probe.json', 'w') as f:
+    os.makedirs(osp.join(REPO, '.scratch'), exist_ok=True)
+    with open(osp.join(REPO, '.scratch', 'bs16_sched_probe.json'),
+              'w') as f:
         json.dump(rows, f, indent=1)
 
 

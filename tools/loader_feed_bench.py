@@ -216,6 +216,7 @@ def main():
 
     out['decomposition'] = decomposition(roidb, num_classes, 2048)
     print('decomposition:', json.dumps(out['decomposition']), flush=True)
+    os.makedirs('.scratch', exist_ok=True)
     with open('.scratch/loader_feed_bench.json', 'w') as f:
         json.dump(out, f, indent=1)
 
